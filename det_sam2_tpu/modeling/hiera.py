@@ -1,0 +1,248 @@
+"""Hiera hierarchical ViT trunk, TPU-native.
+
+Behavioral equivalent of /root/reference/sam2/modeling/backbones/hieradet.py
+(Hiera :172, MultiScaleBlock :86, MultiScaleAttention :40, do_pool :25) and
+backbones/utils.py (window_partition :16, window_unpartition :42, PatchEmbed
+:66), re-designed for JAX/XLA:
+
+  * NHWC end to end (TPU conv layout); no permutes around convs/pools;
+  * windowed attention is one big batched attention over [B*num_windows,
+    ws*ws, C] — static shapes, MXU-tiled, flash-kernel-swappable;
+  * the bicubic interpolation of the background positional embedding is a
+    precomputed dense-matrix resize (utils/resize.py), numerically matching
+    torch's bicubic align_corners=False (a = -0.75);
+  * all shapes static: padding for non-divisible windows is compiled in.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import HieraConfig
+from det_sam2_tpu.modeling.layers import LayerNorm, MLP, exact_gelu, sdpa
+from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
+
+
+def window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
+    """[B, H, W, C] -> [B*nW, ws, ws, C] with zero padding when needed."""
+    b, h, w, c = x.shape
+    pad_h = (ws - h % ws) % ws
+    pad_w = (ws - w % ws) % ws
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // ws, ws, wp // ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(
+    windows: jnp.ndarray, ws: int, pad_hw: Tuple[int, int], hw: Tuple[int, int]
+) -> jnp.ndarray:
+    """Inverse of window_partition; crops padding."""
+    hp, wp = pad_hw
+    h, w = hw
+    c = windows.shape[-1]
+    b = windows.shape[0] // ((hp // ws) * (wp // ws))
+    x = windows.reshape(b, hp // ws, wp // ws, ws, ws, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, c)
+    if hp > h or wp > w:
+        x = x[:, :h, :w, :]
+    return x
+
+
+def _max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool2d(kernel=2, stride=2, ceil_mode=False) in NHWC."""
+    return nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+
+
+class PatchEmbed(nn.Module):
+    """7x7 stride-4 conv patch embedding (backbones/utils.py:66)."""
+
+    embed_dim: int
+    kernel: int = 7
+    stride: int = 4
+    padding: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, H, W, 3]
+        return nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+
+
+class MultiScaleAttention(nn.Module):
+    """Windowed/global attention with optional 2x query pooling
+    (hieradet.py:40-84)."""
+
+    dim_out: int
+    num_heads: int
+    q_pool: bool = False
+    attention_fn: Callable = sdpa
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, H, W, C] (windows stacked in B)
+        b, h, w, _ = x.shape
+        qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+
+        oh, ow = h, w
+        if self.q_pool:
+            q = q.reshape(b, h, w, -1)
+            q = _max_pool_2x(q)
+            oh, ow = q.shape[1], q.shape[2]
+            q = q.reshape(b, oh * ow, self.num_heads, -1)
+
+        # [B, N, heads, D] -> [B, heads, N, D]
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        o = self.attention_fn(q, k, v)
+        o = o.transpose(0, 2, 1, 3).reshape(b, oh, ow, -1)
+        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+
+
+class MultiScaleBlock(nn.Module):
+    """Hiera block: windowed attention (+ optional q-pool downsample) + MLP
+    (hieradet.py:86-170)."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    window_size: int  # 0 = global attention
+    q_stride: Optional[Tuple[int, int]] = None
+    mlp_ratio: float = 4.0
+    attention_fn: Callable = sdpa
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, C]
+        shortcut = x
+        x = LayerNorm(eps=1e-6, name="norm1")(x)
+
+        if self.dim != self.dim_out:
+            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            shortcut = _max_pool_2x(proj) if self.q_stride else proj
+
+        ws = self.window_size
+        if ws > 0:
+            h, w = x.shape[1], x.shape[2]
+            x, pad_hw = window_partition(x, ws)
+
+        x = MultiScaleAttention(
+            dim_out=self.dim_out,
+            num_heads=self.num_heads,
+            q_pool=self.q_stride is not None,
+            attention_fn=self.attention_fn,
+            dtype=self.dtype,
+            name="attn",
+        )(x)
+
+        if self.q_stride:
+            ws = self.window_size // self.q_stride[0]
+            h, w = shortcut.shape[1], shortcut.shape[2]
+            pad_h = (ws - h % ws) % ws if ws > 0 else 0
+            pad_w = (ws - w % ws) % ws if ws > 0 else 0
+            pad_hw = (h + pad_h, w + pad_w)
+
+        if self.window_size > 0:
+            x = window_unpartition(x, ws, pad_hw, (h, w))
+
+        x = shortcut + x
+        y = LayerNorm(eps=1e-6, name="norm2")(x)
+        y = MLP(
+            hidden_dim=int(self.dim_out * self.mlp_ratio),
+            output_dim=self.dim_out,
+            num_layers=2,
+            activation=exact_gelu,
+            dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + y
+
+
+class Hiera(nn.Module):
+    """4-stage hierarchical trunk; returns per-stage NHWC feature maps
+    (hieradet.py:172-316). Highest resolution first."""
+
+    cfg: HieraConfig
+    attention_fn: Callable = sdpa
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        c = self.cfg
+        x = PatchEmbed(
+            embed_dim=c.embed_dim,
+            kernel=c.patch_kernel,
+            stride=c.patch_stride,
+            padding=c.patch_padding,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)
+        h, w = x.shape[1], x.shape[2]
+
+        # Windowed background positional embedding (hieradet.py:253-263):
+        # a coarse [bkg_h, bkg_w] grid bicubically resized to (h, w), plus a
+        # tiled per-window embedding.
+        bkg_h, bkg_w = c.window_pos_embed_bkg_spatial_size
+        ws0 = c.window_spec[0]
+        pos_embed = self.param(
+            "pos_embed", nn.initializers.zeros, (1, bkg_h, bkg_w, c.embed_dim)
+        )
+        pos_embed_window = self.param(
+            "pos_embed_window", nn.initializers.zeros, (1, ws0, ws0, c.embed_dim)
+        )
+        if h % ws0 or w % ws0:
+            raise ValueError(
+                f"Hiera input must give a post-patch-embed grid divisible by "
+                f"window_spec[0]={ws0}; got {h}x{w} (input "
+                f"{h * c.patch_stride}x{w * c.patch_stride})."
+            )
+        wy = jnp.asarray(resize_weights(bkg_h, h, "bicubic"))
+        wx = jnp.asarray(resize_weights(bkg_w, w, "bicubic"))
+        pe = resize_nhwc(pos_embed, wy, wx)
+        pe = pe + jnp.tile(pos_embed_window, (1, h // ws0, w // ws0, 1))
+        x = x + pe.astype(x.dtype)
+
+        stage_ends = c.stage_ends
+        q_pool_blocks = set(c.q_pool_blocks)
+        global_blocks = set(c.global_att_blocks or ())
+
+        outputs: List[jnp.ndarray] = []
+        embed_dim, num_heads, cur_stage = c.embed_dim, c.num_heads, 1
+        for i in range(c.depth):
+            dim_out = embed_dim
+            window_size = c.window_spec[cur_stage - 1]
+            if i in global_blocks:
+                window_size = 0
+            if i - 1 in stage_ends:
+                dim_out = int(embed_dim * c.dim_mul)
+                num_heads = int(num_heads * c.head_mul)
+                cur_stage += 1
+            x = MultiScaleBlock(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                window_size=window_size,
+                q_stride=c.q_stride if i in q_pool_blocks else None,
+                mlp_ratio=c.mlp_ratio,
+                attention_fn=self.attention_fn,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x)
+            embed_dim = dim_out
+            if i in stage_ends:
+                outputs.append(x)
+        return outputs

@@ -1,0 +1,112 @@
+"""Numerical parity of the Hiera trunk + FPN neck vs the torch reference."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import FpnNeckConfig, HieraConfig
+from det_sam2_tpu.convert import convert_fpn_neck, convert_hiera
+from det_sam2_tpu.modeling.hiera import Hiera
+from det_sam2_tpu.modeling.image_encoder import FpnNeck
+
+from torch_ref import load_reference, reference_available, torch_sd
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+TINY = HieraConfig(
+    embed_dim=16,
+    num_heads=1,
+    stages=(1, 1, 2, 1),
+    global_att_blocks=(3,),
+    window_pos_embed_bkg_spatial_size=(7, 7),
+    window_spec=(8, 4, 14, 7),
+)
+
+
+def _ref_hiera(cfg: HieraConfig):
+    load_reference()
+    from sam2.modeling.backbones.hieradet import Hiera as RefHiera
+
+    torch.manual_seed(0)
+    mod = RefHiera(
+        embed_dim=cfg.embed_dim,
+        num_heads=cfg.num_heads,
+        stages=tuple(cfg.stages),
+        global_att_blocks=tuple(cfg.global_att_blocks),
+        window_pos_embed_bkg_spatial_size=tuple(
+            cfg.window_pos_embed_bkg_spatial_size
+        ),
+        window_spec=tuple(cfg.window_spec),
+        q_pool=cfg.q_pool,
+    )
+    mod.eval()
+    # non-trivial weights (default init leaves pos_embed zero)
+    with torch.no_grad():
+        for p in mod.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    return mod
+
+
+def test_hiera_matches_reference():
+    ref = _ref_hiera(TINY)
+    x = np.random.default_rng(0).standard_normal((1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        ref_outs = ref(torch.from_numpy(x))
+
+    params = convert_hiera(torch_sd(ref), TINY)
+    model = Hiera(cfg=TINY)
+    got_outs = jax.jit(
+        lambda p, v: model.apply({"params": p}, v)
+    )(params, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    assert len(got_outs) == len(ref_outs) == 4
+    for got, want in zip(got_outs, ref_outs):
+        got = np.asarray(got).transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(got, want.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_fpn_neck_matches_reference():
+    load_reference()
+    from sam2.modeling.backbones.image_encoder import FpnNeck as RefNeck
+    from sam2.modeling.position_encoding import PositionEmbeddingSine
+
+    torch.manual_seed(1)
+    channels = list(reversed(TINY.channel_list))  # high-res first: 16,32,64,128
+    ref = RefNeck(
+        position_encoding=PositionEmbeddingSine(num_pos_feats=256, normalize=True),
+        d_model=256,
+        backbone_channel_list=list(TINY.channel_list),  # low-res first
+        fpn_top_down_levels=[2, 3],
+        fpn_interp_model="nearest",
+    )
+    ref.eval()
+
+    rng = np.random.default_rng(1)
+    sizes = [32, 16, 8, 4]
+    xs = [
+        rng.standard_normal((1, c, s, s)).astype(np.float32)
+        for c, s in zip(channels, sizes)
+    ]
+    with torch.no_grad():
+        ref_out, ref_pos = ref([torch.from_numpy(v) for v in xs])
+
+    cfg = FpnNeckConfig(backbone_channel_list=tuple(TINY.channel_list))
+    params = convert_fpn_neck(torch_sd(ref), num_levels=4, prefix="")
+    neck = FpnNeck(cfg=cfg)
+    got_out, got_pos = neck.apply(
+        {"params": params}, [jnp.asarray(v.transpose(0, 2, 3, 1)) for v in xs]
+    )
+
+    for g, w in zip(got_out, ref_out):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), rtol=1e-4, atol=1e-4
+        )
+    for g, w in zip(got_pos, ref_pos):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), rtol=1e-4, atol=1e-4
+        )
