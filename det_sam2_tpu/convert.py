@@ -43,8 +43,9 @@ def conv2d(sd: Dict, prefix: str) -> Dict:
 
 
 def conv_transpose2d(sd: Dict, prefix: str) -> Dict:
-    # torch: [in, out, kh, kw]; flax ConvTranspose: [kh, kw, in, out]
-    out = {"kernel": _t(sd[f"{prefix}.weight"]).transpose(2, 3, 0, 1)}
+    # torch layout [in, out, kh, kw] is stored verbatim: our ConvTranspose2x
+    # (mask_decoder.py) consumes it directly as a Dense + depth-to-space.
+    out = {"kernel": _t(sd[f"{prefix}.weight"])}
     if f"{prefix}.bias" in sd:
         out["bias"] = _t(sd[f"{prefix}.bias"])
     return out

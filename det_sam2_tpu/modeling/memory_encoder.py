@@ -1,0 +1,123 @@
+"""Memory encoder: (pixel features, predicted mask) -> 64-d memory map.
+
+Behavioral equivalent of /root/reference/sam2/modeling/memory_encoder.py
+(MaskDownSampler :17, CXBlock :62, Fuser :120, MemoryEncoder :138) in NHWC.
+The depthwise 7x7 ConvNeXt conv uses feature_group_count; LayerNorm2d is a
+plain trailing-axis LayerNorm in NHWC.
+"""
+
+from __future__ import annotations
+
+import math
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import MemoryEncoderConfig
+from det_sam2_tpu.modeling.layers import LayerNorm, exact_gelu
+
+
+class MaskDownSampler(nn.Module):
+    """Stacked stride-s convs downsampling the mask by total_stride
+    (memory_encoder.py:17-61)."""
+
+    cfg: MemoryEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # [B, H, W, 1]
+        c = self.cfg
+        num_layers = int(
+            math.log2(c.mask_downsampler_total_stride)
+            // math.log2(c.mask_downsampler_stride)
+        )
+        chans = 1
+        k, s, p = (
+            c.mask_downsampler_kernel,
+            c.mask_downsampler_stride,
+            c.mask_downsampler_padding,
+        )
+        for i in range(num_layers):
+            chans = chans * (s ** 2)
+            x = nn.Conv(
+                chans, (k, k), strides=(s, s), padding=[(p, p), (p, p)],
+                dtype=self.dtype, name=f"conv_{i}",
+            )(x)
+            x = LayerNorm(eps=1e-6, name=f"ln_{i}")(x)
+            x = exact_gelu(x)
+        return nn.Conv(c.in_dim, (1, 1), dtype=self.dtype, name="conv_out")(x)
+
+
+class CXBlock(nn.Module):
+    """ConvNeXt block (memory_encoder.py:62-119), NHWC."""
+
+    dim: int
+    kernel: int = 7
+    padding: int = 3
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x
+        x = nn.Conv(
+            self.dim,
+            (self.kernel, self.kernel),
+            padding=[(self.padding, self.padding)] * 2,
+            feature_group_count=self.dim,
+            dtype=self.dtype,
+            name="dwconv",
+        )(x)
+        x = LayerNorm(eps=1e-6, name="norm")(x)
+        x = nn.Dense(4 * self.dim, dtype=self.dtype, name="pwconv1")(x)
+        x = exact_gelu(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
+        gamma = self.param("gamma", nn.initializers.constant(1e-6), (self.dim,))
+        x = gamma.astype(x.dtype) * x
+        return inp + x
+
+
+class Fuser(nn.Module):
+    """Stack of CXBlocks (memory_encoder.py:120-137)."""
+
+    cfg: MemoryEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = self.cfg
+        for i in range(c.fuser_num_layers):
+            x = CXBlock(
+                dim=c.fuser_dim, kernel=c.cx_kernel, padding=c.cx_padding,
+                dtype=self.dtype, name=f"layers_{i}",
+            )(x)
+        return x
+
+
+class MemoryEncoder(nn.Module):
+    """Fuse pixel features with the downsampled mask; project to mem_dim
+    (memory_encoder.py:138-181). Returns NHWC features (pos enc is a
+    host-side constant added by the caller)."""
+
+    cfg: MemoryEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, pix_feat: jnp.ndarray, masks: jnp.ndarray,
+        skip_mask_sigmoid: bool = False,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        if not skip_mask_sigmoid:
+            masks = jax.nn.sigmoid(masks)
+        masks = MaskDownSampler(cfg=c, dtype=self.dtype, name="mask_downsampler")(
+            masks
+        )
+        x = nn.Conv(c.in_dim, (1, 1), dtype=self.dtype, name="pix_feat_proj")(
+            pix_feat
+        )
+        x = x + masks
+        x = Fuser(cfg=c, dtype=self.dtype, name="fuser")(x)
+        if c.out_dim != c.in_dim:
+            x = nn.Conv(c.out_dim, (1, 1), dtype=self.dtype, name="out_proj")(x)
+        return x

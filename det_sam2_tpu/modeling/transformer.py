@@ -1,0 +1,168 @@
+"""Attention layers and the two-way (token <-> image) transformer.
+
+Behavioral equivalents of /root/reference/sam2/modeling/sam/transformer.py
+(TwoWayTransformer :44, TwoWayAttentionBlock :136, Attention :214,
+RoPEAttention :287). TPU re-design: batch-first [B, N, C] token layout,
+fp32 softmax, optional RoPE passed in as host-precomputed cos/sin tables
+(with a static count of trailing tokens excluded from rotation — the
+object-pointer tokens in memory cross-attention).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from det_sam2_tpu.modeling.layers import LayerNorm, MLP, sdpa
+from det_sam2_tpu.modeling.position_encoding import apply_rope
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional internal downsampling, separate
+    kv input width, RoPE, and additive bias (for padded-memory masking)."""
+
+    embedding_dim: int
+    num_heads: int
+    downsample_rate: int = 1
+    kv_in_dim: Optional[int] = None
+    attention_fn: Callable = sdpa
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        q: jnp.ndarray,
+        k: jnp.ndarray,
+        v: jnp.ndarray,
+        rope_q: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        rope_k: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+        num_k_rope: Optional[int] = None,
+        bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        internal = self.embedding_dim // self.downsample_rate
+        h = self.num_heads
+        b, nq = q.shape[0], q.shape[1]
+        nk = k.shape[1]
+
+        q = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
+        k = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
+        v = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
+
+        q = q.reshape(b, nq, h, -1).transpose(0, 2, 1, 3)
+        k = k.reshape(b, nk, h, -1).transpose(0, 2, 1, 3)
+        v = v.reshape(b, nk, h, -1).transpose(0, 2, 1, 3)
+
+        if rope_q is not None:
+            cos_q, sin_q = rope_q
+            q = apply_rope(q, cos_q, sin_q)
+        if rope_k is not None:
+            cos_k, sin_k = rope_k
+            nkr = nk if num_k_rope is None else num_k_rope
+            if nkr == nk:
+                k = apply_rope(k, cos_k, sin_k)
+            else:
+                k = jnp.concatenate(
+                    [apply_rope(k[:, :, :nkr], cos_k, sin_k), k[:, :, nkr:]],
+                    axis=2,
+                )
+
+        o = self.attention_fn(q, k, v, bias=bias)
+        o = o.transpose(0, 2, 1, 3).reshape(b, nq, internal)
+        return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(o)
+
+
+class TwoWayAttentionBlock(nn.Module):
+    """(1) token self-attn, (2) token->image cross-attn, (3) token MLP,
+    (4) image->token cross-attn (transformer.py:136-213)."""
+
+    embedding_dim: int
+    num_heads: int
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    skip_first_layer_pe: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, queries, keys, query_pe, key_pe):
+        if self.skip_first_layer_pe:
+            queries = Attention(
+                self.embedding_dim, self.num_heads, dtype=self.dtype,
+                name="self_attn",
+            )(queries, queries, queries)
+        else:
+            q = queries + query_pe
+            attn_out = Attention(
+                self.embedding_dim, self.num_heads, dtype=self.dtype,
+                name="self_attn",
+            )(q, q, queries)
+            queries = queries + attn_out
+        queries = LayerNorm(eps=1e-5, name="norm1")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dtype=self.dtype,
+            name="cross_attn_token_to_image",
+        )(q, k, keys)
+        queries = queries + attn_out
+        queries = LayerNorm(eps=1e-5, name="norm2")(queries)
+
+        mlp_out = MLP(
+            hidden_dim=self.mlp_dim, output_dim=self.embedding_dim, num_layers=2,
+            activation=nn.relu, dtype=self.dtype, name="mlp",
+        )(queries)
+        queries = queries + mlp_out
+        queries = LayerNorm(eps=1e-5, name="norm3")(queries)
+
+        q = queries + query_pe
+        k = keys + key_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dtype=self.dtype,
+            name="cross_attn_image_to_token",
+        )(k, q, queries)
+        keys = keys + attn_out
+        keys = LayerNorm(eps=1e-5, name="norm4")(keys)
+        return queries, keys
+
+
+class TwoWayTransformer(nn.Module):
+    """Bidirectional decoder transformer (transformer.py:44-135)."""
+
+    depth: int = 2
+    embedding_dim: int = 256
+    num_heads: int = 8
+    mlp_dim: int = 2048
+    attention_downsample_rate: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image_embedding, image_pe, point_embedding):
+        """image_embedding/image_pe: [B, N_img, C] (pre-flattened);
+        point_embedding: [B, N_tok, C]. Returns (queries, keys)."""
+        queries = point_embedding
+        keys = image_embedding
+        for i in range(self.depth):
+            queries, keys = TwoWayAttentionBlock(
+                embedding_dim=self.embedding_dim,
+                num_heads=self.num_heads,
+                mlp_dim=self.mlp_dim,
+                attention_downsample_rate=self.attention_downsample_rate,
+                skip_first_layer_pe=(i == 0),
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(queries, keys, point_embedding, image_pe)
+
+        q = queries + point_embedding
+        k = keys + image_pe
+        attn_out = Attention(
+            self.embedding_dim, self.num_heads,
+            downsample_rate=self.attention_downsample_rate, dtype=self.dtype,
+            name="final_attn_token_to_image",
+        )(q, k, keys)
+        queries = queries + attn_out
+        queries = LayerNorm(eps=1e-5, name="norm_final_attn")(queries)
+        return queries, keys
