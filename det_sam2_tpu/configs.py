@@ -175,6 +175,7 @@ class SAM2Config:
     # --- TPU-native static-shape knobs (no reference equivalent) ---
     # capacities of the ring-buffer memory bank; see det_sam2_tpu/state.py
     cond_bank_size: int = 8
+    cond_attn_size: int = 4  # cond tiles attended per frame (static)
     noncond_bank_size: int = 32
     ptr_bank_size: int = 32
     max_objects: int = 8

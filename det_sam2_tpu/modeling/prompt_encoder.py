@@ -61,6 +61,13 @@ class PromptEncoder(nn.Module):
             self.embed_dim, (1, 1), dtype=self.dtype, name="mask_downscaling_conv2",
         )
 
+    @property
+    def mask_input_hw(self) -> Tuple[int, int]:
+        return (
+            4 * self.image_embedding_size[0],
+            4 * self.image_embedding_size[1],
+        )
+
     def get_dense_pe(self) -> jnp.ndarray:
         """[H, W, C] positional grid for the mask decoder."""
         h, w = self.image_embedding_size

@@ -1,0 +1,345 @@
+"""Static-shape inference state: the ring-buffer memory bank.
+
+This replaces the reference's mutable dict state machine
+(`inference_state["output_dict"]` in sam2/sam2_video_predictor.py:43-120,
+select_closest_cond_frames in sam2/modeling/sam2_utils.py:19-66, the memory
+gathering in sam2/modeling/sam2_base.py:479-690, and release_old_frames
+:1215-1277) with fixed-capacity arrays + integer index arithmetic, so the
+whole per-frame step compiles ONCE and never re-traces:
+
+  * cond bank   [Kc slots]: prompted (conditioning) frames; preloaded frames
+    are PINNED (never evicted; always eligible for attention — the fork's
+    preload-memory semantics, sam2_utils.py:56-60).
+  * non-cond bank [Kn slots]: tracked frames; eviction = overwrite oldest.
+  * object axis O: padded slots; adding an object mid-stream is a host-side
+    bump of the active count, no recompilation (vs the re-consolidation loop
+    at sam2_video_predictor.py:250-327).
+
+Eviction-policy note: the reference keeps every frame until
+release_old_frames deletes old ones; here the Kn-slot ring implicitly keeps
+the most recent Kn distinct frames. Selection only ever looks back
+max(num_maskmem*stride, max_obj_ptrs) frames, so behavior is identical
+whenever Kn >= that window (the default 32 covers the app defaults).
+Similarly the cond bank attends over the `cond_attn_size` closest slots —
+identical to the reference whenever the number of live cond frames is <=
+cond_attn_size (select_closest semantics otherwise approximated by
+closest-|dt| priority with pinned frames always included).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import SAM2Config
+
+INVALID = jnp.int32(-1)
+_FAR = jnp.int32(2**30)
+
+
+@flax.struct.dataclass
+class MemoryBank:
+    """Per-video tracking memory. Leading axis = slots, second = objects."""
+
+    cond_mem: jnp.ndarray  # [Kc, O, S, Cm]
+    cond_ptr: jnp.ndarray  # [Kc, O, C]
+    cond_frame_idx: jnp.ndarray  # [Kc] int32 (-1 = empty)
+    cond_pinned: jnp.ndarray  # [Kc] bool
+    noncond_mem: jnp.ndarray  # [Kn, O, S, Cm]
+    noncond_ptr: jnp.ndarray  # [Kn, O, C]
+    noncond_frame_idx: jnp.ndarray  # [Kn] int32
+
+    @property
+    def num_objects(self) -> int:
+        return self.cond_mem.shape[1]
+
+
+def init_bank(cfg: SAM2Config, num_objects: int, dtype=jnp.float32) -> MemoryBank:
+    s = cfg.image_embedding_size ** 2
+    kc, kn = cfg.cond_bank_size, cfg.noncond_bank_size
+    o, cm, c = num_objects, cfg.mem_dim, cfg.hidden_dim
+    return MemoryBank(
+        cond_mem=jnp.zeros((kc, o, s, cm), dtype),
+        cond_ptr=jnp.zeros((kc, o, c), dtype),
+        cond_frame_idx=jnp.full((kc,), INVALID),
+        cond_pinned=jnp.zeros((kc,), bool),
+        noncond_mem=jnp.zeros((kn, o, s, cm), dtype),
+        noncond_ptr=jnp.zeros((kn, o, c), dtype),
+        noncond_frame_idx=jnp.full((kn,), INVALID),
+    )
+
+
+def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
+    """Pad the object axis (mid-stream new-object addition). The new rows
+    hold zeros; the host re-encodes recent cond frames to fill them
+    (the TPU analogue of sam2_video_predictor.py:250-327)."""
+    o = bank.num_objects
+    if new_num_objects <= o:
+        return bank
+    pad = new_num_objects - o
+
+    def _pad(x):
+        if x.ndim >= 2 and x.shape[1] == o:
+            widths = [(0, 0)] * x.ndim
+            widths[1] = (0, pad)
+            return jnp.pad(x, widths)
+        return x
+
+    return MemoryBank(
+        cond_mem=_pad(bank.cond_mem),
+        cond_ptr=_pad(bank.cond_ptr),
+        cond_frame_idx=bank.cond_frame_idx,
+        cond_pinned=bank.cond_pinned,
+        noncond_mem=_pad(bank.noncond_mem),
+        noncond_ptr=_pad(bank.noncond_ptr),
+        noncond_frame_idx=bank.noncond_frame_idx,
+    )
+
+
+def _choose_write_slot(frame_idx_vec, pinned, frame_idx):
+    """match > first empty > oldest unpinned."""
+    match = frame_idx_vec == frame_idx
+    empty = frame_idx_vec < 0
+    evict_key = jnp.where(pinned, _FAR, frame_idx_vec)
+    slot = jnp.where(
+        match.any(),
+        jnp.argmax(match),
+        jnp.where(empty.any(), jnp.argmax(empty), jnp.argmin(evict_key)),
+    )
+    return slot, match.any()
+
+
+def write_cond(
+    bank: MemoryBank,
+    frame_idx: jnp.ndarray,
+    mem: jnp.ndarray,  # [O, S, Cm]
+    ptr: jnp.ndarray,  # [O, C]
+    pinned: bool = False,
+) -> MemoryBank:
+    slot, had_match = _choose_write_slot(
+        bank.cond_frame_idx, bank.cond_pinned, frame_idx
+    )
+    keep_pin = jnp.where(had_match, bank.cond_pinned[slot], False)
+    return bank.replace(
+        cond_mem=bank.cond_mem.at[slot].set(mem.astype(bank.cond_mem.dtype)),
+        cond_ptr=bank.cond_ptr.at[slot].set(ptr.astype(bank.cond_ptr.dtype)),
+        cond_frame_idx=bank.cond_frame_idx.at[slot].set(frame_idx),
+        cond_pinned=bank.cond_pinned.at[slot].set(keep_pin | pinned),
+    )
+
+
+def write_noncond(
+    bank: MemoryBank, frame_idx: jnp.ndarray, mem: jnp.ndarray, ptr: jnp.ndarray
+) -> MemoryBank:
+    slot, _ = _choose_write_slot(
+        bank.noncond_frame_idx,
+        jnp.zeros_like(bank.noncond_frame_idx, bool),
+        frame_idx,
+    )
+    return bank.replace(
+        noncond_mem=bank.noncond_mem.at[slot].set(mem.astype(bank.noncond_mem.dtype)),
+        noncond_ptr=bank.noncond_ptr.at[slot].set(ptr.astype(bank.noncond_ptr.dtype)),
+        noncond_frame_idx=bank.noncond_frame_idx.at[slot].set(frame_idx),
+    )
+
+
+def release_frames(
+    bank: MemoryBank,
+    min_keep_idx: jnp.ndarray,
+    max_keep_idx: jnp.ndarray = None,
+) -> MemoryBank:
+    """Invalidate unpinned slots with frame_idx < min_keep_idx (and
+    optionally > max_keep_idx) — the fork's release_old_frames
+    (sam2_video_predictor.py:1215-1277); pinned preload frames survive."""
+
+    def _drop(vec, pinned):
+        drop = (vec >= 0) & (vec < min_keep_idx) & ~pinned
+        if max_keep_idx is not None:
+            drop = drop | ((vec >= 0) & (vec > max_keep_idx) & ~pinned)
+        return jnp.where(drop, INVALID, vec)
+
+    return bank.replace(
+        cond_frame_idx=_drop(bank.cond_frame_idx, bank.cond_pinned),
+        noncond_frame_idx=_drop(
+            bank.noncond_frame_idx, jnp.zeros_like(bank.noncond_frame_idx, bool)
+        ),
+    )
+
+
+def remove_cond_frame(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
+    match = bank.cond_frame_idx == frame_idx
+    return bank.replace(
+        cond_frame_idx=jnp.where(match, INVALID, bank.cond_frame_idx),
+        cond_pinned=jnp.where(match, False, bank.cond_pinned),
+    )
+
+
+def clear_noncond_around(
+    bank: MemoryBank, frame_idx: jnp.ndarray, radius: jnp.ndarray
+) -> MemoryBank:
+    """_clear_non_cond_mem_around_input (sam2_video_predictor.py:1551-1571):
+    drop non-cond memories within +-radius of a correction frame."""
+    vec = bank.noncond_frame_idx
+    drop = (vec >= 0) & (jnp.abs(vec - frame_idx) <= radius)
+    return bank.replace(noncond_frame_idx=jnp.where(drop, INVALID, vec))
+
+
+# ---------------------------------------------------------------------------
+# memory selection (read path)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MemoryLayout:
+    """Static description of the packed memory-token sequence."""
+
+    num_cond_tiles: int
+    num_noncond_tiles: int
+    tokens_per_tile: int
+    num_ptr_slots: int
+    tokens_per_ptr: int
+
+    @property
+    def num_mem_frames(self) -> int:
+        return self.num_cond_tiles + self.num_noncond_tiles
+
+    @property
+    def num_spatial_tokens(self) -> int:
+        return self.num_mem_frames * self.tokens_per_tile
+
+    @property
+    def num_ptr_tokens(self) -> int:
+        return self.num_ptr_slots * self.tokens_per_ptr
+
+    @property
+    def num_tokens(self) -> int:
+        return self.num_spatial_tokens + self.num_ptr_tokens
+
+
+def memory_layout(cfg: SAM2Config) -> MemoryLayout:
+    return MemoryLayout(
+        num_cond_tiles=min(cfg.cond_attn_size, cfg.cond_bank_size),
+        num_noncond_tiles=cfg.num_maskmem - 1,
+        tokens_per_tile=cfg.image_embedding_size ** 2,
+        num_ptr_slots=min(cfg.cond_attn_size, cfg.cond_bank_size)
+        + cfg.max_obj_ptrs_in_encoder - 1,
+        tokens_per_ptr=cfg.hidden_dim // cfg.mem_dim,
+    )
+
+
+def _desired_noncond_indices(
+    cfg: SAM2Config, frame_idx: jnp.ndarray, reverse: bool
+) -> jnp.ndarray:
+    """Frame indices of the (num_maskmem-1) non-cond memories at temporal
+    stride r — exact arithmetic of sam2_base.py:528-562."""
+    r = cfg.memory_temporal_stride_for_eval
+    out = []
+    for t_pos in range(1, cfg.num_maskmem):
+        t_rel = cfg.num_maskmem - t_pos
+        if t_rel == 1:
+            idx = frame_idx + 1 if reverse else frame_idx - 1
+        else:
+            if not reverse:
+                base = ((frame_idx - 2) // r) * r
+                idx = base - (t_rel - 2) * r
+            else:
+                base = -(-(frame_idx + 2) // r) * r
+                idx = base + (t_rel - 2) * r
+        out.append(idx)
+    return jnp.stack(out)  # [num_maskmem-1], earliest (t_pos=1) first
+
+
+def select_memory(
+    cfg: SAM2Config,
+    bank: MemoryBank,
+    frame_idx: jnp.ndarray,
+    num_frames: jnp.ndarray,
+    reverse: bool = False,
+):
+    """Gather the packed memory sequence for one tracked frame.
+
+    Returns a dict:
+      spatial_mem   [O, (Ka+6)*S, Cm]    cond tiles then non-cond tiles
+      spatial_tpos  [Ka+6] int32         index into maskmem_tpos_enc
+      spatial_valid [Ka+6] bool
+      ptrs          [O, P, C]            object pointers (cond + scan)
+      ptr_dist      [P] int32            signed frame distance
+      ptr_valid     [P] bool
+      t_diff_max    scalar int32         tpos normalizer (min(F,16)-1)
+    """
+    lay = memory_layout(cfg)
+    ka = lay.num_cond_tiles
+    tpos_sign = -1 if reverse else 1
+
+    # --- cond tiles: pinned first, then closest |dt| ---
+    valid = bank.cond_frame_idx >= 0
+    dt = jnp.abs(bank.cond_frame_idx - frame_idx)
+    score = jnp.where(valid, dt, _FAR)
+    score = jnp.where(valid & bank.cond_pinned, -1, score)
+    _, cond_slots = jax.lax.top_k(-score, ka)  # smallest score
+    cond_valid = valid[cond_slots]
+    cond_t = bank.cond_frame_idx[cond_slots]
+
+    cond_mem = jnp.take(bank.cond_mem, cond_slots, axis=0)  # [Ka, O, S, Cm]
+
+    # --- non-cond tiles at t_pos 1..num_maskmem-1 ---
+    desired = _desired_noncond_indices(cfg, frame_idx, reverse)  # [6]
+    eq = bank.noncond_frame_idx[None, :] == desired[:, None]  # [6, Kn]
+    found = eq.any(axis=1) & (desired >= 0)
+    nc_slots = jnp.argmax(eq, axis=1)
+    nc_mem = jnp.take(bank.noncond_mem, nc_slots, axis=0)  # [6, O, S, Cm]
+
+    spatial = jnp.concatenate([cond_mem, nc_mem], axis=0)  # [Ka+6, O, S, Cm]
+    o = spatial.shape[1]
+    spatial = spatial.transpose(1, 0, 2, 3).reshape(o, -1, spatial.shape[-1])
+
+    nm = cfg.num_maskmem
+    spatial_tpos = jnp.concatenate(
+        [
+            jnp.full((ka,), nm - 1, jnp.int32),  # cond: t_pos = 0
+            nm - jnp.arange(1, nm, dtype=jnp.int32) - 1,  # t_pos = 1..nm-1
+        ]
+    )
+    spatial_valid = jnp.concatenate([cond_valid, found])
+
+    # --- object pointers ---
+    # cond part: the selected cond frames (past-only filter at eval)
+    cond_ptrs = jnp.take(bank.cond_ptr, cond_slots, axis=0)  # [Ka, O, C]
+    if cfg.only_obj_ptrs_in_the_past_for_eval:
+        past_ok = (cond_t >= frame_idx) if reverse else (cond_t <= frame_idx)
+    else:
+        past_ok = jnp.ones_like(cond_valid)
+    cond_ptr_valid = cond_valid & past_ok
+    cond_ptr_dist = (frame_idx - cond_t) * tpos_sign
+
+    # scan part: t_diff = 1 .. max_obj_ptrs-1
+    max_ptrs = jnp.minimum(num_frames, cfg.max_obj_ptrs_in_encoder)
+    t_diffs = jnp.arange(1, cfg.max_obj_ptrs_in_encoder, dtype=jnp.int32)
+    scan_t = jnp.where(reverse, frame_idx + t_diffs, frame_idx - t_diffs)
+    in_range = (scan_t >= 0) & (scan_t < num_frames) & (t_diffs < max_ptrs)
+    eqp = bank.noncond_frame_idx[None, :] == scan_t[:, None]
+    scan_found = eqp.any(axis=1) & in_range
+    scan_slots = jnp.argmax(eqp, axis=1)
+    scan_ptrs = jnp.take(bank.noncond_ptr, scan_slots, axis=0)  # [15, O, C]
+
+    ptrs = jnp.concatenate([cond_ptrs, scan_ptrs], axis=0).transpose(1, 0, 2)
+    ptr_dist = jnp.concatenate([cond_ptr_dist, t_diffs])
+    ptr_valid = jnp.concatenate([cond_ptr_valid, scan_found])
+
+    if not cfg.use_obj_ptrs_in_encoder:
+        ptr_valid = jnp.zeros_like(ptr_valid)
+
+    return {
+        "spatial_mem": spatial,
+        "spatial_tpos": spatial_tpos,
+        "spatial_valid": spatial_valid,
+        "ptrs": ptrs,
+        "ptr_dist": ptr_dist,
+        "ptr_valid": ptr_valid,
+        "t_diff_max": max_ptrs - 1,
+        "layout": lay,
+    }

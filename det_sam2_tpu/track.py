@@ -1,0 +1,406 @@
+"""SAM2Engine: jit-compiled per-frame step functions over the static state.
+
+This is the TPU replacement for the reference's per-frame driver
+(`_run_single_frame_inference`, sam2/sam2_video_predictor.py:1279-1365, and
+`SAM2Base.track_step`, sam2/modeling/sam2_base.py:746-932). Each public
+method is a jitted pure function of (params, image features, MemoryBank,
+scalars); Python-level flags that change the traced graph (reverse, is_init,
+prompt size P, object count O) key a small closure cache, so steady-state
+streaming never re-traces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import SAM2Config
+from det_sam2_tpu.modeling.layers import sdpa
+from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
+from det_sam2_tpu.modeling.sam2_base import SAM2Model
+from det_sam2_tpu.state import (
+    MemoryBank,
+    select_memory,
+    write_cond,
+    write_noncond,
+)
+from det_sam2_tpu.utils.resize import torch_resize_hw
+
+
+def use_multimask(cfg: SAM2Config, is_init: bool, num_pts: int) -> bool:
+    """sam2_base.py:_use_multimask (:915-925)."""
+    return (
+        cfg.multimask_output_in_sam
+        and (is_init or cfg.multimask_output_for_tracking)
+        and (cfg.multimask_min_pt_num <= num_pts <= cfg.multimask_max_pt_num)
+    )
+
+
+def _assemble_memory(model: SAM2Model, cfg: SAM2Config, sel):
+    """Pack gathered bank slots into the attention token sequence
+    (the concat at sam2_base.py:668-683)."""
+    lay = sel["layout"]
+    s = lay.tokens_per_tile
+    cm = cfg.mem_dim
+
+    hw = cfg.image_embedding_size
+    base = jnp.asarray(sine_pos_embed_2d(hw, hw, cm)).reshape(s, cm)
+    tpos = model.maskmem_tpos_enc[sel["spatial_tpos"], 0, 0]  # [T, Cm]
+    spatial_pos = (base[None, :, :] + tpos[:, None, :]).reshape(1, -1, cm)
+
+    ptrs = sel["ptrs"]  # [O, P, C]
+    o, p, c = ptrs.shape
+    tpp = c // cm
+    ptr_tokens = ptrs.reshape(o, p, tpp, cm).reshape(o, p * tpp, cm)
+    ptr_pe = model.obj_ptr_tpos(
+        sel["ptr_dist"].astype(jnp.float32), sel["t_diff_max"]
+    )  # [P, Cm]
+    ptr_pos = jnp.repeat(ptr_pe, tpp, axis=0)[None]
+
+    memory = jnp.concatenate(
+        [sel["spatial_mem"], ptr_tokens.astype(sel["spatial_mem"].dtype)], axis=1
+    )
+    memory_pos = jnp.concatenate(
+        [spatial_pos, ptr_pos.astype(spatial_pos.dtype)], axis=1
+    )
+    valid = jnp.concatenate(
+        [
+            jnp.repeat(sel["spatial_valid"], s),
+            jnp.repeat(sel["ptr_valid"], tpp),
+        ]
+    )
+    return memory, memory_pos, valid, lay
+
+
+def _conditioned_features(model, cfg, feat_o, bank, frame_idx, num_frames,
+                          reverse: bool, is_init: bool):
+    if is_init or cfg.num_maskmem == 0:
+        if cfg.directly_add_no_mem_embed:
+            return model.no_mem_features(feat_o)
+        raise NotImplementedError("sam2.1 always sets directly_add_no_mem_embed")
+    sel = select_memory(cfg, bank, frame_idx, num_frames, reverse)
+    memory, memory_pos, valid, lay = _assemble_memory(model, cfg, sel)
+    return model.attend_memory(
+        feat_o,
+        memory,
+        memory_pos,
+        valid,
+        num_mem_frames=lay.num_mem_frames,
+        num_obj_ptr_tokens=lay.num_ptr_tokens,
+    )
+
+
+def _broadcast_feats(feats, o: int):
+    return tuple(
+        jnp.broadcast_to(f, (o,) + f.shape[1:]) if f.shape[0] == 1 else f
+        for f in feats
+    )
+
+
+class SAM2Engine:
+    """Holds params + compiled step functions. Thread-compatible: all state
+    lives in the MemoryBank pytree owned by the caller."""
+
+    def __init__(
+        self,
+        cfg: SAM2Config,
+        params=None,
+        dtype=jnp.float32,
+        attention_fn=sdpa,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.dtype = dtype
+        self.model = SAM2Model(cfg=cfg, attention_fn=attention_fn, dtype=dtype)
+        if params is None:
+            params = self._init_params(seed)
+        self.params = params
+
+    def _init_params(self, seed: int):
+        cfg = self.cfg
+        model = self.model
+
+        def touch(mdl: SAM2Model):
+            img = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)
+            feats = mdl.forward_image(img)
+            s0, s1, feat = feats
+            pix = mdl.no_mem_features(feat)
+            mdl.forward_sam_heads(
+                pix,
+                high_res_features=[s0, s1],
+                multimask_output=False,
+            )
+            s = cfg.image_embedding_size
+            nq = s * s
+            mem = jnp.zeros((1, nq + cfg.hidden_dim // cfg.mem_dim, cfg.mem_dim),
+                            jnp.float32)
+            mdl.attend_memory(
+                feat,
+                mem,
+                jnp.zeros_like(mem),
+                jnp.ones((mem.shape[1],), bool),
+                num_mem_frames=1,
+                num_obj_ptr_tokens=cfg.hidden_dim // cfg.mem_dim,
+            )
+            mdl.encode_memory(
+                feat,
+                jnp.zeros((1, 1, cfg.image_size, cfg.image_size), jnp.float32),
+                jnp.zeros((1, 1), jnp.float32),
+            )
+            mdl.obj_ptr_tpos(jnp.zeros((2,), jnp.float32), jnp.int32(15))
+            mdl.forward_sam_heads(
+                pix,
+                mask_inputs=jnp.zeros((1, s * 4, s * 4, 1), jnp.float32),
+                high_res_features=[s0, s1],
+                multimask_output=False,
+            )
+            if cfg.use_mask_input_as_output_without_sam:
+                mdl.use_mask_as_output(
+                    pix,
+                    [s0, s1],
+                    jnp.zeros((1, cfg.image_size, cfg.image_size, 1), jnp.float32),
+                )
+            return None
+
+        # Trace for shapes only, then fill leaves host-side: running the real
+        # initializers would execute a full 1024^2 forward just to make
+        # random weights.
+        import numpy as np
+
+        shapes = jax.eval_shape(nn.init(touch, model), jax.random.PRNGKey(seed))
+        rng = np.random.default_rng(seed)
+
+        def _fill(path, leaf):
+            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+            if name in ("scale", "gamma"):
+                v = np.ones(leaf.shape, np.float32)
+            elif name == "bias":
+                v = np.zeros(leaf.shape, np.float32)
+            else:
+                v = rng.standard_normal(leaf.shape).astype(np.float32) * 0.02
+            return jnp.asarray(v, dtype=leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(_fill, shapes)["params"]
+
+    # ------------------------------------------------------------------
+
+    @functools.cached_property
+    def _encode_image_fn(self):
+        return jax.jit(nn.apply(lambda m, x: m.forward_image(x), self.model))
+
+    def encode_image(self, img):
+        """img [1, H, W, 3] normalized -> (feat_s0, feat_s1, feat)."""
+        return self._encode_image_fn({"params": self.params}, img)
+
+    @functools.lru_cache(maxsize=None)
+    def _track_step_fn(self, reverse: bool):
+        cfg, model = self.cfg, self.model
+
+        def body(m: SAM2Model, feats, bank: MemoryBank, frame_idx, num_frames):
+            o = bank.num_objects
+            s0, s1, feat = _broadcast_feats(feats, o)
+            pix = _conditioned_features(
+                m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init=False
+            )
+            multimask = use_multimask(cfg, is_init=False, num_pts=0)
+            (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                m.forward_sam_heads(
+                    pix,
+                    high_res_features=[s0, s1],
+                    multimask_output=multimask,
+                )
+            )
+            maskmem = m.encode_memory(
+                feat, high_res, obj_logits,
+                binarize=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
+            )
+            smem = maskmem.reshape(o, -1, cfg.mem_dim)
+            new_bank = write_noncond(bank, frame_idx, smem, obj_ptr)
+            out = {
+                "pred_masks": low_res,
+                "obj_ptr": obj_ptr,
+                "object_score_logits": obj_logits,
+                "ious": ious,
+            }
+            return new_bank, out
+
+        fn = nn.apply(body, model)
+        return jax.jit(fn, donate_argnums=(2,))
+
+    def track_step(self, feats, bank, frame_idx, num_frames, reverse=False):
+        """Track one (unprompted) frame: memory-read -> SAM heads ->
+        memory-write. Returns (new_bank, outputs)."""
+        return self._track_step_fn(bool(reverse))(
+            {"params": self.params}, feats, bank,
+            jnp.int32(frame_idx), jnp.int32(num_frames),
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _prompt_step_fn(self, num_pts: int, is_init: bool, reverse: bool,
+                        has_prev_logits: bool):
+        cfg, model = self.cfg, self.model
+
+        def body(m, feats, bank, frame_idx, num_frames, points, labels,
+                 prev_logits):
+            o = points.shape[0]
+            s0, s1, feat = _broadcast_feats(feats, o)
+            pix = _conditioned_features(
+                m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init
+            )
+            mask_inputs = None
+            if has_prev_logits:
+                # previous low-res logits fed back as a dense prompt
+                # (sam2_video_predictor.py:~480, clamped to +-32)
+                mask_inputs = jnp.clip(prev_logits, -32.0, 32.0)
+                mask_inputs = mask_inputs[:, 0, :, :, None]
+            multimask = use_multimask(cfg, is_init, num_pts)
+            (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                m.forward_sam_heads(
+                    pix,
+                    point_coords=points,
+                    point_labels=labels,
+                    mask_inputs=mask_inputs,
+                    high_res_features=[s0, s1],
+                    multimask_output=multimask,
+                )
+            )
+            return {
+                "pred_masks": low_res,
+                "obj_ptr": obj_ptr,
+                "object_score_logits": obj_logits,
+                "ious": ious,
+            }
+
+        fn = nn.apply(body, model)
+        return jax.jit(fn)
+
+    def prompt_step(
+        self, feats, bank, frame_idx, num_frames, points, labels,
+        is_init: bool, reverse: bool = False, prev_logits=None,
+    ):
+        """Run SAM heads with point/box prompts (no memory write — the
+        caller consolidates + encodes via encode_cond_memory, mirroring
+        run_mem_encoder=False at sam2_video_predictor.py:485-505).
+
+        points [O, P, 2] in model pixels; labels [O, P] (-1 pad rows for
+        objects not prompted this frame produce outputs the caller must
+        ignore). prev_logits [O, 1, s4, s4] or None.
+        """
+        p = points.shape[1]
+        fn = self._prompt_step_fn(p, bool(is_init), bool(reverse),
+                                  prev_logits is not None)
+        if prev_logits is None:
+            prev_logits = jnp.zeros(
+                (points.shape[0], 1, self.cfg.image_size // 4,
+                 self.cfg.image_size // 4), jnp.float32
+            )
+        return fn(
+            {"params": self.params}, feats, bank,
+            jnp.int32(frame_idx), jnp.int32(num_frames),
+            points.astype(jnp.float32), labels.astype(jnp.int32), prev_logits,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _mask_prompt_step_fn(self, is_init: bool, reverse: bool):
+        cfg, model = self.cfg, self.model
+
+        def body(m, feats, bank, frame_idx, num_frames, mask_inputs):
+            o = mask_inputs.shape[0]
+            s0, s1, feat = _broadcast_feats(feats, o)
+            if cfg.use_mask_input_as_output_without_sam:
+                pix = feat  # no memory conditioning on the direct-mask path
+                outs = m.use_mask_as_output(pix, [s0, s1], mask_inputs)
+            else:
+                pix = _conditioned_features(
+                    m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init
+                )
+                outs = m.forward_sam_heads(
+                    pix,
+                    mask_inputs=mask_inputs,
+                    high_res_features=[s0, s1],
+                    multimask_output=use_multimask(cfg, is_init, 0),
+                )
+            (_, _, ious, low_res, _, obj_ptr, obj_logits) = outs
+            return {
+                "pred_masks": low_res,
+                "obj_ptr": obj_ptr,
+                "object_score_logits": obj_logits,
+                "ious": ious,
+            }
+
+        return jax.jit(nn.apply(body, model))
+
+    def mask_prompt_step(self, feats, bank, frame_idx, num_frames,
+                         mask_inputs, is_init: bool, reverse: bool = False):
+        """mask_inputs: [O, H, W, 1] binary float at model resolution."""
+        return self._mask_prompt_step_fn(bool(is_init), bool(reverse))(
+            {"params": self.params}, feats, bank,
+            jnp.int32(frame_idx), jnp.int32(num_frames),
+            mask_inputs.astype(jnp.float32),
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _encode_cond_fn(self, is_mask_from_pts: bool, pinned: bool):
+        cfg, model = self.cfg, self.model
+
+        def body(m, feats, bank, frame_idx, low_res_masks, obj_logits, obj_ptr):
+            o = low_res_masks.shape[0]
+            _, _, feat = _broadcast_feats(feats, o)
+            high_res = torch_resize_hw(
+                low_res_masks, (cfg.image_size, cfg.image_size), mode="bilinear"
+            )
+            binarize = cfg.binarize_mask_from_pts_for_mem_enc and is_mask_from_pts
+            maskmem = m.encode_memory(
+                feat, high_res, obj_logits,
+                binarize=binarize,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
+            )
+            smem = maskmem.reshape(o, -1, cfg.mem_dim)
+            return write_cond(bank, frame_idx, smem, obj_ptr, pinned=pinned)
+
+        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+
+    def encode_cond_memory(
+        self, feats, bank, frame_idx, low_res_masks, object_score_logits,
+        obj_ptr, is_mask_from_pts: bool = True, pinned: bool = False,
+    ):
+        """Consolidated-frame memory encoding + cond-bank write (the
+        run_mem_encoder consolidation at sam2_video_predictor.py:730-760)."""
+        return self._encode_cond_fn(bool(is_mask_from_pts), bool(pinned))(
+            {"params": self.params}, feats, bank, jnp.int32(frame_idx),
+            low_res_masks.astype(jnp.float32),
+            object_score_logits.astype(jnp.float32), obj_ptr,
+        )
+
+    @functools.lru_cache(maxsize=None)
+    def _resize_fn(self, h: int, w: int):
+        @jax.jit
+        def fn(masks):
+            return torch_resize_hw(masks, (h, w), mode="bilinear")
+
+        return fn
+
+    def resize_masks(self, masks, out_hw):
+        """Low-res logits -> arbitrary resolution (video res), exact torch
+        bilinear (sam2_video_predictor.py:_get_orig_video_res_output)."""
+        return self._resize_fn(int(out_hw[0]), int(out_hw[1]))(masks)
+
+    def empty_mask_ptr(self, feats, frame_idx: int = 0):
+        """Dummy pointer from an empty mask (sam2_video_predictor.py:769-804)."""
+        cfg = self.cfg
+        zeros = jnp.zeros((1, cfg.image_size, cfg.image_size, 1), jnp.float32)
+        bank_dummy = None
+        out = self._mask_prompt_step_fn(True, False)(
+            {"params": self.params},
+            tuple(f[:1] for f in feats),
+            bank_dummy,
+            jnp.int32(frame_idx),
+            jnp.int32(1),
+            zeros,
+        )
+        return out["obj_ptr"]

@@ -1,0 +1,274 @@
+"""End-to-end track-step parity: SAM2Engine vs the torch SAM2Base driven the
+way SAM2VideoPredictor drives it (prompt frame 0 with a box, consolidate +
+encode cond memory, then track subsequent frames off the memory bank)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.convert import convert_sam2_base
+from det_sam2_tpu.state import init_bank
+from det_sam2_tpu.track import SAM2Engine
+
+from torch_ref import load_reference, reference_available, torch_sd
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+CFG = tiny_test_config()
+
+
+def _build_ref_model():
+    load_reference()
+    from sam2.modeling.backbones.hieradet import Hiera as RefHiera
+    from sam2.modeling.backbones.image_encoder import (
+        FpnNeck as RefNeck,
+        ImageEncoder as RefEnc,
+    )
+    from sam2.modeling.memory_attention import (
+        MemoryAttention as RefMA,
+        MemoryAttentionLayer as RefMALayer,
+    )
+    from sam2.modeling.memory_encoder import (
+        CXBlock,
+        Fuser,
+        MaskDownSampler,
+        MemoryEncoder as RefME,
+    )
+    from sam2.modeling.position_encoding import PositionEmbeddingSine
+    from sam2.modeling.sam.transformer import RoPEAttention
+    from sam2.modeling.sam2_base import SAM2Base
+
+    h = CFG.hiera
+    torch.manual_seed(0)
+    trunk = RefHiera(
+        embed_dim=h.embed_dim,
+        num_heads=h.num_heads,
+        stages=tuple(h.stages),
+        global_att_blocks=tuple(h.global_att_blocks),
+        window_pos_embed_bkg_spatial_size=tuple(h.window_pos_embed_bkg_spatial_size),
+        window_spec=tuple(h.window_spec),
+    )
+    neck = RefNeck(
+        position_encoding=PositionEmbeddingSine(num_pos_feats=256, normalize=True),
+        d_model=256,
+        backbone_channel_list=list(h.channel_list),
+        fpn_top_down_levels=[2, 3],
+        fpn_interp_model="nearest",
+    )
+    image_encoder = RefEnc(trunk=trunk, neck=neck, scalp=1)
+
+    s = CFG.image_embedding_size
+    ma_layer = RefMALayer(
+        activation="relu",
+        dim_feedforward=2048,
+        dropout=0.1,
+        pos_enc_at_attn=False,
+        self_attention=RoPEAttention(
+            rope_theta=10000.0, feat_sizes=(s, s), embedding_dim=256,
+            num_heads=1, downsample_rate=1, dropout=0.1,
+        ),
+        d_model=256,
+        pos_enc_at_cross_attn_keys=True,
+        pos_enc_at_cross_attn_queries=False,
+        cross_attention=RoPEAttention(
+            rope_theta=10000.0, feat_sizes=(s, s), rope_k_repeat=True,
+            embedding_dim=256, num_heads=1, downsample_rate=1, dropout=0.1,
+            kv_in_dim=64,
+        ),
+    )
+    memory_attention = RefMA(
+        d_model=256, pos_enc_at_input=True, layer=ma_layer, num_layers=4
+    )
+    memory_encoder = RefME(
+        out_dim=64,
+        position_encoding=PositionEmbeddingSine(num_pos_feats=64, normalize=True),
+        mask_downsampler=MaskDownSampler(kernel_size=3, stride=2, padding=1),
+        fuser=Fuser(
+            CXBlock(dim=256, kernel_size=7, padding=3,
+                    layer_scale_init_value=1e-6, use_dwconv=True),
+            num_layers=2,
+        ),
+        in_dim=256,
+    )
+
+    model = SAM2Base(
+        image_encoder=image_encoder,
+        memory_attention=memory_attention,
+        memory_encoder=memory_encoder,
+        num_maskmem=7,
+        image_size=CFG.image_size,
+        backbone_stride=16,
+        sigmoid_scale_for_mem_enc=20.0,
+        sigmoid_bias_for_mem_enc=-10.0,
+        binarize_mask_from_pts_for_mem_enc=True,
+        use_mask_input_as_output_without_sam=True,
+        max_cond_frames_in_attn=20,
+        directly_add_no_mem_embed=True,
+        use_high_res_features_in_sam=True,
+        multimask_output_in_sam=True,
+        multimask_min_pt_num=0,
+        multimask_max_pt_num=1,
+        multimask_output_for_tracking=True,
+        use_multimask_token_for_obj_ptr=True,
+        iou_prediction_use_sigmoid=True,
+        memory_temporal_stride_for_eval=1,
+        use_obj_ptrs_in_encoder=True,
+        max_obj_ptrs_in_encoder=16,
+        add_tpos_enc_to_obj_ptrs=True,
+        proj_tpos_enc_in_obj_ptrs=True,
+        use_signed_tpos_enc_to_obj_ptrs=True,
+        only_obj_ptrs_in_the_past_for_eval=True,
+        pred_obj_scores=True,
+        pred_obj_scores_mlp=True,
+        fixed_no_obj_ptr=True,
+        use_mlp_for_obj_ptr_proj=True,
+        no_obj_embed_spatial=True,
+        sam_mask_decoder_extra_args=dict(
+            dynamic_multimask_via_stability=True,
+            dynamic_multimask_stability_delta=0.05,
+            dynamic_multimask_stability_thresh=0.98,
+        ),
+    )
+    model.eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            p.add_(torch.randn_like(p) * 0.02)
+    return model
+
+
+def _ref_features(model, img):
+    backbone_out = model.forward_image(img)
+    (_, vision_feats, vision_pos, feat_sizes) = model._prepare_backbone_features(
+        backbone_out
+    )
+    return vision_feats, vision_pos, feat_sizes
+
+
+def _ref_encode_cond(model, vision_feats, feat_sizes, pred_masks, obj_logits):
+    high_res = F.interpolate(
+        pred_masks, size=(CFG.image_size, CFG.image_size),
+        mode="bilinear", align_corners=False,
+    )
+    feats, pos = model._encode_new_memory(
+        vision_feats, feat_sizes, high_res, obj_logits, is_mask_from_pts=True
+    )
+    return feats, pos
+
+
+@pytest.mark.slow
+def test_track_parity_box_prompt_then_track():
+    torch.set_num_threads(1)
+    ref = _build_ref_model()
+    params = convert_sam2_base(torch_sd(ref), CFG)
+    engine = SAM2Engine(CFG, params=params)
+
+    rng = np.random.default_rng(0)
+    n_frames = 4
+    frames = rng.standard_normal((n_frames, 3, CFG.image_size, CFG.image_size))
+    frames = frames.astype(np.float32) * 0.3
+
+    # ---- torch side: emulate the video predictor's calls ----
+    box_points = np.array([[[20.0, 24.0], [90.0, 100.0]]], dtype=np.float32)
+    box_labels = np.array([[2, 3]], dtype=np.int32)
+    output_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    ref_outs = []
+    with torch.no_grad():
+        for t in range(n_frames):
+            img = torch.from_numpy(frames[t : t + 1])
+            vision_feats, vision_pos, feat_sizes = _ref_features(ref, img)
+            if t == 0:
+                out = ref.track_step(
+                    frame_idx=0,
+                    is_init_cond_frame=True,
+                    current_vision_feats=vision_feats,
+                    current_vision_pos_embeds=vision_pos,
+                    feat_sizes=feat_sizes,
+                    point_inputs={
+                        "point_coords": torch.from_numpy(box_points),
+                        "point_labels": torch.from_numpy(box_labels),
+                    },
+                    mask_inputs=None,
+                    output_dict=output_dict,
+                    num_frames=n_frames,
+                    run_mem_encoder=False,
+                )
+                # consolidation: re-encode memory from the (single-object)
+                # consolidated mask with is_mask_from_pts=True
+                mm, mpe = _ref_encode_cond(
+                    ref, vision_feats, feat_sizes,
+                    out["pred_masks"], out["object_score_logits"],
+                )
+                output_dict["cond_frame_outputs"][0] = {
+                    "maskmem_features": mm,
+                    "maskmem_pos_enc": mpe,
+                    "pred_masks": out["pred_masks"],
+                    "obj_ptr": out["obj_ptr"],
+                    "object_score_logits": out["object_score_logits"],
+                }
+            else:
+                out = ref.track_step(
+                    frame_idx=t,
+                    is_init_cond_frame=False,
+                    current_vision_feats=vision_feats,
+                    current_vision_pos_embeds=vision_pos,
+                    feat_sizes=feat_sizes,
+                    point_inputs=None,
+                    mask_inputs=None,
+                    output_dict=output_dict,
+                    num_frames=n_frames,
+                    run_mem_encoder=True,
+                )
+                output_dict["non_cond_frame_outputs"][t] = out
+            ref_outs.append(
+                {
+                    "pred_masks": out["pred_masks"].numpy(),
+                    "obj_ptr": out["obj_ptr"].numpy(),
+                    "score": out["object_score_logits"].numpy(),
+                }
+            )
+
+    # ---- jax side ----
+    bank = init_bank(CFG, num_objects=1)
+    got = []
+    for t in range(n_frames):
+        img = jnp.asarray(frames[t : t + 1].transpose(0, 2, 3, 1))
+        feats = engine.encode_image(img)
+        if t == 0:
+            out = engine.prompt_step(
+                feats, bank, 0, n_frames,
+                jnp.asarray(box_points), jnp.asarray(box_labels), is_init=True,
+            )
+            bank = engine.encode_cond_memory(
+                feats, bank, 0, out["pred_masks"],
+                out["object_score_logits"], out["obj_ptr"],
+                is_mask_from_pts=True,
+            )
+        else:
+            bank, out = engine.track_step(feats, bank, t, n_frames)
+        got.append(
+            {
+                "pred_masks": np.asarray(out["pred_masks"]),
+                "obj_ptr": np.asarray(out["obj_ptr"]),
+                "score": np.asarray(out["object_score_logits"]),
+            }
+        )
+
+    for t in range(n_frames):
+        np.testing.assert_allclose(
+            got[t]["score"], ref_outs[t]["score"], rtol=1e-3, atol=2e-3,
+            err_msg=f"frame {t} score",
+        )
+        np.testing.assert_allclose(
+            got[t]["obj_ptr"], ref_outs[t]["obj_ptr"], rtol=1e-3, atol=2e-3,
+            err_msg=f"frame {t} obj_ptr",
+        )
+        np.testing.assert_allclose(
+            got[t]["pred_masks"], ref_outs[t]["pred_masks"],
+            rtol=1e-3, atol=5e-3, err_msg=f"frame {t} masks",
+        )
