@@ -378,6 +378,50 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=None)
+    def _stream_step_fn(self, reverse: bool):
+        """One fused jit: image encode + memory read + SAM heads + memory
+        write — the steady-state streaming hot path. Fusing lets XLA overlap
+        the encoder with memory gathers and skips a host round-trip."""
+        cfg, model = self.cfg, self.model
+
+        def body(m: SAM2Model, img, bank: MemoryBank, frame_idx, num_frames):
+            feats = m.forward_image(img)
+            o = bank.num_objects
+            s0, s1, feat = _broadcast_feats(feats, o)
+            pix = _conditioned_features(
+                m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init=False
+            )
+            multimask = use_multimask(cfg, is_init=False, num_pts=0)
+            (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                m.forward_sam_heads(
+                    pix, high_res_features=[s0, s1], multimask_output=multimask
+                )
+            )
+            maskmem = m.encode_memory(
+                feat, high_res, obj_logits,
+                binarize=False,
+                apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
+            )
+            new_bank = write_noncond(
+                bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim), obj_ptr
+            )
+            return new_bank, {
+                "pred_masks": low_res,
+                "obj_ptr": obj_ptr,
+                "object_score_logits": obj_logits,
+                "ious": ious,
+            }
+
+        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+
+    def stream_step(self, img, bank, frame_idx, num_frames, reverse=False):
+        """img [1, H, W, 3] -> (new_bank, outputs); fused encode+track."""
+        return self._stream_step_fn(bool(reverse))(
+            {"params": self.params}, img, bank,
+            jnp.int32(frame_idx), jnp.int32(num_frames),
+        )
+
+    @functools.lru_cache(maxsize=None)
     def _resize_fn(self, h: int, w: int):
         @jax.jit
         def fn(masks):
