@@ -49,9 +49,13 @@ class MemoryBank:
     cond_ptr: jnp.ndarray  # [Kc, O, C]
     cond_frame_idx: jnp.ndarray  # [Kc] int32 (-1 = empty)
     cond_pinned: jnp.ndarray  # [Kc] bool
+    cond_obj_valid: jnp.ndarray  # [Kc, O] bool (per-object row validity --
+    # the reference's per-object output dicts: an object only attends frames
+    # written while it existed)
     noncond_mem: jnp.ndarray  # [Kn, O, S, Cm]
     noncond_ptr: jnp.ndarray  # [Kn, O, C]
     noncond_frame_idx: jnp.ndarray  # [Kn] int32
+    noncond_obj_valid: jnp.ndarray  # [Kn, O] bool
 
     @property
     def num_objects(self) -> int:
@@ -67,9 +71,11 @@ def init_bank(cfg: SAM2Config, num_objects: int, dtype=jnp.float32) -> MemoryBan
         cond_ptr=jnp.zeros((kc, o, c), dtype),
         cond_frame_idx=jnp.full((kc,), INVALID),
         cond_pinned=jnp.zeros((kc,), bool),
+        cond_obj_valid=jnp.zeros((kc, o), bool),
         noncond_mem=jnp.zeros((kn, o, s, cm), dtype),
         noncond_ptr=jnp.zeros((kn, o, c), dtype),
         noncond_frame_idx=jnp.full((kn,), INVALID),
+        noncond_obj_valid=jnp.zeros((kn, o), bool),
     )
 
 
@@ -94,9 +100,11 @@ def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
         cond_ptr=_pad(bank.cond_ptr),
         cond_frame_idx=bank.cond_frame_idx,
         cond_pinned=bank.cond_pinned,
+        cond_obj_valid=_pad(bank.cond_obj_valid),
         noncond_mem=_pad(bank.noncond_mem),
         noncond_ptr=_pad(bank.noncond_ptr),
         noncond_frame_idx=bank.noncond_frame_idx,
+        noncond_obj_valid=_pad(bank.noncond_obj_valid),
     )
 
 
@@ -118,8 +126,11 @@ def write_cond(
     frame_idx: jnp.ndarray,
     mem: jnp.ndarray,  # [O, S, Cm]
     ptr: jnp.ndarray,  # [O, C]
+    obj_valid: jnp.ndarray = None,  # [O] bool: rows backed by live objects
     pinned: bool = False,
 ) -> MemoryBank:
+    if obj_valid is None:
+        obj_valid = jnp.ones((mem.shape[0],), bool)
     slot, had_match = _choose_write_slot(
         bank.cond_frame_idx, bank.cond_pinned, frame_idx
     )
@@ -129,12 +140,19 @@ def write_cond(
         cond_ptr=bank.cond_ptr.at[slot].set(ptr.astype(bank.cond_ptr.dtype)),
         cond_frame_idx=bank.cond_frame_idx.at[slot].set(frame_idx),
         cond_pinned=bank.cond_pinned.at[slot].set(keep_pin | pinned),
+        cond_obj_valid=bank.cond_obj_valid.at[slot].set(obj_valid),
     )
 
 
 def write_noncond(
-    bank: MemoryBank, frame_idx: jnp.ndarray, mem: jnp.ndarray, ptr: jnp.ndarray
+    bank: MemoryBank,
+    frame_idx: jnp.ndarray,
+    mem: jnp.ndarray,
+    ptr: jnp.ndarray,
+    obj_valid: jnp.ndarray = None,
 ) -> MemoryBank:
+    if obj_valid is None:
+        obj_valid = jnp.ones((mem.shape[0],), bool)
     slot, _ = _choose_write_slot(
         bank.noncond_frame_idx,
         jnp.zeros_like(bank.noncond_frame_idx, bool),
@@ -144,6 +162,7 @@ def write_noncond(
         noncond_mem=bank.noncond_mem.at[slot].set(mem.astype(bank.noncond_mem.dtype)),
         noncond_ptr=bank.noncond_ptr.at[slot].set(ptr.astype(bank.noncond_ptr.dtype)),
         noncond_frame_idx=bank.noncond_frame_idx.at[slot].set(frame_idx),
+        noncond_obj_valid=bank.noncond_obj_valid.at[slot].set(obj_valid),
     )
 
 
@@ -170,12 +189,38 @@ def release_frames(
     )
 
 
+def invalidate_noncond(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
+    """Drop a frame from the non-cond bank (the cond/non-cond dedup at
+    sam2_video_predictor.py:871-878: a frame must not be both)."""
+    vec = bank.noncond_frame_idx
+    return bank.replace(
+        noncond_frame_idx=jnp.where(vec == frame_idx, INVALID, vec)
+    )
+
+
 def remove_cond_frame(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
     match = bank.cond_frame_idx == frame_idx
     return bank.replace(
         cond_frame_idx=jnp.where(match, INVALID, bank.cond_frame_idx),
         cond_pinned=jnp.where(match, False, bank.cond_pinned),
     )
+
+
+def demote_cond_frame(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
+    """Move a frame's memory from the cond bank to the non-cond bank (the
+    cond->non-cond demotion in clear_all_prompts_in_frame,
+    sam2_video_predictor.py:1060-1131)."""
+    match = bank.cond_frame_idx == frame_idx
+    has = match.any()
+    slot = jnp.argmax(match)
+    bank2 = write_noncond(
+        bank, frame_idx, bank.cond_mem[slot], bank.cond_ptr[slot]
+    )
+    # undo the noncond write when the cond frame didn't exist
+    bank2 = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(has, new, old), bank2, bank
+    )
+    return remove_cond_frame(bank2, jnp.where(has, frame_idx, INVALID))
 
 
 def clear_noncond_around(
@@ -285,6 +330,7 @@ def select_memory(
     cond_t = bank.cond_frame_idx[cond_slots]
 
     cond_mem = jnp.take(bank.cond_mem, cond_slots, axis=0)  # [Ka, O, S, Cm]
+    cond_obj_valid = jnp.take(bank.cond_obj_valid, cond_slots, axis=0)  # [Ka, O]
 
     # --- non-cond tiles at t_pos 1..num_maskmem-1 ---
     desired = _desired_noncond_indices(cfg, frame_idx, reverse)  # [6]
@@ -292,6 +338,7 @@ def select_memory(
     found = eq.any(axis=1) & (desired >= 0)
     nc_slots = jnp.argmax(eq, axis=1)
     nc_mem = jnp.take(bank.noncond_mem, nc_slots, axis=0)  # [6, O, S, Cm]
+    nc_obj_valid = jnp.take(bank.noncond_obj_valid, nc_slots, axis=0)  # [6, O]
 
     spatial = jnp.concatenate([cond_mem, nc_mem], axis=0)  # [Ka+6, O, S, Cm]
     o = spatial.shape[1]
@@ -304,7 +351,14 @@ def select_memory(
             nm - jnp.arange(1, nm, dtype=jnp.int32) - 1,  # t_pos = 1..nm-1
         ]
     )
-    spatial_valid = jnp.concatenate([cond_valid, found])
+    # [O, Ka+6]: frame-level validity AND per-object row validity
+    spatial_valid = jnp.concatenate(
+        [
+            (cond_valid[:, None] & cond_obj_valid).T,
+            (found[:, None] & nc_obj_valid).T,
+        ],
+        axis=1,
+    )
 
     # --- object pointers ---
     # cond part: the selected cond frames (past-only filter at eval)
@@ -313,7 +367,7 @@ def select_memory(
         past_ok = (cond_t >= frame_idx) if reverse else (cond_t <= frame_idx)
     else:
         past_ok = jnp.ones_like(cond_valid)
-    cond_ptr_valid = cond_valid & past_ok
+    cond_ptr_valid = (cond_valid & past_ok)[:, None] & cond_obj_valid  # [Ka, O]
     cond_ptr_dist = (frame_idx - cond_t) * tpos_sign
 
     # scan part: t_diff = 1 .. max_obj_ptrs-1
@@ -325,10 +379,13 @@ def select_memory(
     scan_found = eqp.any(axis=1) & in_range
     scan_slots = jnp.argmax(eqp, axis=1)
     scan_ptrs = jnp.take(bank.noncond_ptr, scan_slots, axis=0)  # [15, O, C]
+    scan_obj_valid = jnp.take(bank.noncond_obj_valid, scan_slots, axis=0)
 
     ptrs = jnp.concatenate([cond_ptrs, scan_ptrs], axis=0).transpose(1, 0, 2)
     ptr_dist = jnp.concatenate([cond_ptr_dist, t_diffs])
-    ptr_valid = jnp.concatenate([cond_ptr_valid, scan_found])
+    ptr_valid = jnp.concatenate(
+        [cond_ptr_valid, scan_found[:, None] & scan_obj_valid], axis=0
+    ).T  # [O, P]
 
     if not cfg.use_obj_ptrs_in_encoder:
         ptr_valid = jnp.zeros_like(ptr_valid)

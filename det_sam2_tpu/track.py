@@ -69,10 +69,11 @@ def _assemble_memory(model: SAM2Model, cfg: SAM2Config, sel):
     )
     valid = jnp.concatenate(
         [
-            jnp.repeat(sel["spatial_valid"], s),
-            jnp.repeat(sel["ptr_valid"], tpp),
-        ]
-    )
+            jnp.repeat(sel["spatial_valid"], s, axis=1),
+            jnp.repeat(sel["ptr_valid"], tpp, axis=1),
+        ],
+        axis=1,
+    )  # [O, Nk]
     return memory, memory_pos, valid, lay
 
 
@@ -200,7 +201,8 @@ class SAM2Engine:
     def _track_step_fn(self, reverse: bool):
         cfg, model = self.cfg, self.model
 
-        def body(m: SAM2Model, feats, bank: MemoryBank, frame_idx, num_frames):
+        def body(m: SAM2Model, feats, bank: MemoryBank, frame_idx, num_frames,
+                 obj_valid):
             o = bank.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
             pix = _conditioned_features(
@@ -220,7 +222,8 @@ class SAM2Engine:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
-            new_bank = write_noncond(bank, frame_idx, smem, obj_ptr)
+            new_bank = write_noncond(bank, frame_idx, smem, obj_ptr,
+                                     obj_valid=obj_valid)
             out = {
                 "pred_masks": low_res,
                 "obj_ptr": obj_ptr,
@@ -232,12 +235,15 @@ class SAM2Engine:
         fn = nn.apply(body, model)
         return jax.jit(fn, donate_argnums=(2,))
 
-    def track_step(self, feats, bank, frame_idx, num_frames, reverse=False):
+    def track_step(self, feats, bank, frame_idx, num_frames, reverse=False,
+                   obj_valid=None):
         """Track one (unprompted) frame: memory-read -> SAM heads ->
         memory-write. Returns (new_bank, outputs)."""
+        if obj_valid is None:
+            obj_valid = jnp.ones((bank.num_objects,), bool)
         return self._track_step_fn(bool(reverse))(
             {"params": self.params}, feats, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames),
+            jnp.int32(frame_idx), jnp.int32(num_frames), jnp.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)
@@ -348,7 +354,8 @@ class SAM2Engine:
     def _encode_cond_fn(self, is_mask_from_pts: bool, pinned: bool):
         cfg, model = self.cfg, self.model
 
-        def body(m, feats, bank, frame_idx, low_res_masks, obj_logits, obj_ptr):
+        def body(m, feats, bank, frame_idx, low_res_masks, obj_logits, obj_ptr,
+                 obj_valid):
             o = low_res_masks.shape[0]
             _, _, feat = _broadcast_feats(feats, o)
             high_res = torch_resize_hw(
@@ -361,20 +368,25 @@ class SAM2Engine:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
-            return write_cond(bank, frame_idx, smem, obj_ptr, pinned=pinned)
+            return write_cond(bank, frame_idx, smem, obj_ptr,
+                              obj_valid=obj_valid, pinned=pinned)
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 
     def encode_cond_memory(
         self, feats, bank, frame_idx, low_res_masks, object_score_logits,
         obj_ptr, is_mask_from_pts: bool = True, pinned: bool = False,
+        obj_valid=None,
     ):
         """Consolidated-frame memory encoding + cond-bank write (the
         run_mem_encoder consolidation at sam2_video_predictor.py:730-760)."""
+        if obj_valid is None:
+            obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
         return self._encode_cond_fn(bool(is_mask_from_pts), bool(pinned))(
             {"params": self.params}, feats, bank, jnp.int32(frame_idx),
             low_res_masks.astype(jnp.float32),
             object_score_logits.astype(jnp.float32), obj_ptr,
+            jnp.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)
@@ -384,7 +396,8 @@ class SAM2Engine:
         the encoder with memory gathers and skips a host round-trip."""
         cfg, model = self.cfg, self.model
 
-        def body(m: SAM2Model, img, bank: MemoryBank, frame_idx, num_frames):
+        def body(m: SAM2Model, img, bank: MemoryBank, frame_idx, num_frames,
+                 obj_valid):
             feats = m.forward_image(img)
             o = bank.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
@@ -403,7 +416,8 @@ class SAM2Engine:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
             new_bank = write_noncond(
-                bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim), obj_ptr
+                bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim), obj_ptr,
+                obj_valid=obj_valid,
             )
             return new_bank, {
                 "pred_masks": low_res,
@@ -414,11 +428,14 @@ class SAM2Engine:
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 
-    def stream_step(self, img, bank, frame_idx, num_frames, reverse=False):
+    def stream_step(self, img, bank, frame_idx, num_frames, reverse=False,
+                    obj_valid=None):
         """img [1, H, W, 3] -> (new_bank, outputs); fused encode+track."""
+        if obj_valid is None:
+            obj_valid = jnp.ones((bank.num_objects,), bool)
         return self._stream_step_fn(bool(reverse))(
             {"params": self.params}, img, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames),
+            jnp.int32(frame_idx), jnp.int32(num_frames), jnp.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)

@@ -1,0 +1,152 @@
+"""Host-side frame I/O and mask utilities.
+
+Behavioral equivalents of /root/reference/sam2/utils/misc.py:
+load_video_frames (:236-363, fork-extended to ndarray stream buffers,
+fp16 storage), tensor_to_frame_rgb (:203-232), mask_to_box (:64-87).
+All numpy (host); frames are NHWC float16, normalized with ImageNet stats.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+IMG_MEAN = np.asarray((0.485, 0.456, 0.406), np.float32)
+IMG_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
+
+
+def _load_image_file(path: str, image_size: int) -> Tuple[np.ndarray, int, int]:
+    from PIL import Image
+
+    img = Image.open(path).convert("RGB")
+    w, h = img.size
+    arr = np.asarray(img.resize((image_size, image_size))).astype(np.float32)
+    return arr / 255.0, h, w
+
+
+def normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
+    """One RGB uint8/float frame [H, W, 3] -> normalized fp16
+    [image_size, image_size, 3] (cv2 bilinear resize, /255, ImageNet stats —
+    misc.py:329-346)."""
+    if cv2 is not None:
+        img = cv2.resize(frame_rgb, (image_size, image_size)).astype(np.float32)
+    else:
+        from PIL import Image
+
+        img = np.asarray(
+            Image.fromarray(frame_rgb.astype(np.uint8)).resize(
+                (image_size, image_size)
+            )
+        ).astype(np.float32)
+    img = img / 255.0
+    img = (img - IMG_MEAN) / IMG_STD
+    return img.astype(np.float16)
+
+
+def load_video_frames(
+    video_path: Union[str, List, np.ndarray],
+    image_size: int,
+) -> Tuple[List[np.ndarray], int, int]:
+    """Polymorphic loader: JPEG dir / list of paths / single image path /
+    single ndarray frame / list of ndarray frames / video file (cv2).
+
+    Returns (list of normalized fp16 NHWC frames, video_height, video_width).
+    """
+    if isinstance(video_path, np.ndarray):
+        h, w = video_path.shape[:2]
+        return [normalize_frame(video_path, image_size)], h, w
+
+    if isinstance(video_path, list) and video_path and isinstance(
+        video_path[0], np.ndarray
+    ):
+        h, w = video_path[0].shape[:2]
+        return [normalize_frame(f, image_size) for f in video_path], h, w
+
+    if isinstance(video_path, list):
+        img_paths = list(video_path)
+    elif isinstance(video_path, str) and os.path.isdir(video_path):
+        names = [
+            p
+            for p in os.listdir(video_path)
+            if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
+        ]
+        names.sort(key=lambda p: int(os.path.splitext(p)[0]))
+        if not names:
+            raise RuntimeError(f"no frames found in {video_path}")
+        img_paths = [os.path.join(video_path, n) for n in names]
+    elif isinstance(video_path, str) and os.path.isfile(video_path):
+        ext = os.path.splitext(video_path)[-1].lower()
+        if ext in (".mp4", ".avi", ".mov", ".mkv") and cv2 is not None:
+            cap = cv2.VideoCapture(video_path)
+            frames = []
+            h = w = None
+            while True:
+                ok, frame = cap.read()
+                if not ok:
+                    break
+                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                if h is None:
+                    h, w = rgb.shape[:2]
+                frames.append(normalize_frame(rgb, image_size))
+            cap.release()
+            if not frames:
+                raise RuntimeError(f"no frames decoded from {video_path}")
+            return frames, h, w
+        img_paths = [video_path]
+    else:
+        raise NotImplementedError(f"unsupported video input: {type(video_path)}")
+
+    frames = []
+    h = w = None
+    for p in img_paths:
+        arr, h, w = _load_image_file(p, image_size)
+        frames.append(((arr - IMG_MEAN) / IMG_STD).astype(np.float16))
+    return frames, h, w
+
+
+def tensor_to_frame_rgb(
+    frame_norm: np.ndarray,
+    original_size: Tuple[int, int] = (1920, 1080),
+) -> np.ndarray:
+    """Approximate inverse of normalize_frame: normalized NHWC fp16 ->
+    uint8 RGB at original (W, H) size (misc.py:203-232)."""
+    img = frame_norm.astype(np.float32) * IMG_STD + IMG_MEAN
+    if cv2 is not None:
+        img = cv2.resize(img, original_size)
+    else:
+        from PIL import Image
+
+        img = np.asarray(
+            Image.fromarray((img * 255).astype(np.uint8)).resize(original_size)
+        ).astype(np.float32) / 255.0
+    return np.clip(img * 255.0, 0, 255).astype(np.uint8)
+
+
+def mask_to_box_np(masks: np.ndarray) -> np.ndarray:
+    """[..., H, W] binary -> xyxy [..., 4] (misc.py:64-87)."""
+    shape = masks.shape[:-2]
+    h, w = masks.shape[-2:]
+    flat = masks.reshape(-1, h, w) > 0
+    out = np.zeros((flat.shape[0], 4), np.float32)
+    for i, m in enumerate(flat):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            out[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+    return out.reshape(*shape, 4)
+
+
+def concat_points(old, points: np.ndarray, labels: np.ndarray):
+    """Merge point prompts (misc.py:396-404). old is None or a dict."""
+    if old is None:
+        return {"point_coords": points, "point_labels": labels}
+    return {
+        "point_coords": np.concatenate([old["point_coords"], points], axis=1),
+        "point_labels": np.concatenate([old["point_labels"], labels], axis=1),
+    }
