@@ -1,0 +1,151 @@
+"""DetSAM2Pipeline: asynchronous end-to-end inference + postprocessing.
+
+Behavioral equivalent of /root/reference/det_sam2_inference/
+Det_SAM2_pipeline.py (DetSAM2Pipeline :18-294): one thread streams frames
+through the VideoProcessor and hands finished segments to a queue; a second
+thread (started once pockets are detected) consumes the queue and runs the
+billiards postprocessor incrementally. Ordering rule: the postprocessor may
+RE-process corrected (re-delivered) frames but must never skip one
+(Det_SAM2_pipeline.py:190-191); processed frames are popped from
+video_segments for constant memory (:216-218).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+
+from det_sam2_tpu.app.postprocess import VideoPostProcessor
+from det_sam2_tpu.app.video_processor import VideoProcessor
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class DetSAM2Pipeline:
+    def __init__(
+        self,
+        video_processor: VideoProcessor,
+        post_processor: Optional[VideoPostProcessor] = None,
+        max_inference_state_frames: int = 2000,  # pipeline default (:43)
+    ):
+        self.video_processor = video_processor
+        self.video_processor.max_inference_state_frames = (
+            max_inference_state_frames
+        )
+        self.post_processor = post_processor or VideoPostProcessor()
+        self.frames_queue: "queue.Queue[int]" = queue.Queue()
+        self.segments_lock = threading.Lock()
+        self.shared_segments: Dict[int, dict] = {}
+        self.inference_done = threading.Event()
+        self.postprocess_started = threading.Event()
+        self._post_thread: Optional[threading.Thread] = None
+        self._errors: list = []
+
+    # ------------------------------------------------------------------
+
+    def _hand_off_segments(self) -> None:
+        """Move newly finished segments into the shared dict + queue
+        (transform_video_segments, Det_SAM2_pipeline.py:59-78)."""
+        vp = self.video_processor
+        new_frames = sorted(vp.video_segments.keys())
+        with self.segments_lock:
+            for idx in new_frames:
+                self.shared_segments[idx - vp.pre_frames] = vp.video_segments.pop(
+                    idx
+                )
+                self.frames_queue.put(idx - vp.pre_frames)
+
+    def _maybe_start_postprocess(self) -> None:
+        if self.postprocess_started.is_set():
+            return
+        pockets = self.video_processor.special_classes_detection
+        if pockets:
+            self.post_processor.get_hole_name(list(pockets))
+            self.post_processor.get_boundary_from_holes()
+            self.postprocess_started.set()
+            self._post_thread = threading.Thread(
+                target=self._postprocess_loop, daemon=True
+            )
+            self._post_thread.start()
+
+    def _postprocess_loop(self) -> None:
+        """Consume segments in order; re-deliveries allowed, gaps forbidden
+        (:176-221)."""
+        next_expected = 0
+        try:
+            while True:
+                try:
+                    frame_idx = self.frames_queue.get(timeout=0.2)
+                except queue.Empty:
+                    if self.inference_done.is_set() and self.frames_queue.empty():
+                        break
+                    continue
+                if frame_idx > next_expected:
+                    raise RuntimeError(
+                        f"postprocess gap: expected <= {next_expected}, got "
+                        f"{frame_idx}"
+                    )
+                with self.segments_lock:
+                    segments = self.shared_segments.get(frame_idx)
+                if segments is None:
+                    continue
+                self.post_processor.process_single_frame(frame_idx, segments)
+                next_expected = max(next_expected, frame_idx + 1)
+                # constant memory: drop frames the window can no longer revisit
+                horizon = frame_idx - 2 * (
+                    self.video_processor.max_frame_num_to_track or 0
+                )
+                with self.segments_lock:
+                    for old in [k for k in self.shared_segments if k < horizon]:
+                        self.shared_segments.pop(old, None)
+        except Exception as e:  # surfaced by inference()
+            self._errors.append(e)
+
+    # ------------------------------------------------------------------
+
+    def inference(
+        self,
+        video_source: Union[str, Sequence[np.ndarray]],
+        max_frames: Optional[int] = None,
+    ) -> VideoPostProcessor:
+        """Run the full async pipeline (Det_SAM2_pipeline.py:81-247)."""
+        vp = self.video_processor
+
+        def frame_iter():
+            if isinstance(video_source, str):
+                if cv2 is None:
+                    raise RuntimeError("cv2 required for video input")
+                cap = cv2.VideoCapture(video_source)
+                i = 0
+                while True:
+                    ok, frame = cap.read()
+                    if not ok or (max_frames is not None and i >= max_frames):
+                        break
+                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
+                    i += 1
+                cap.release()
+            else:
+                for i, f in enumerate(video_source):
+                    if max_frames is not None and i >= max_frames:
+                        break
+                    yield f
+
+        for i, frame in enumerate(frame_iter()):
+            vp.process_frame(vp.pre_frames + i, frame)
+            self._hand_off_segments()
+            self._maybe_start_postprocess()
+        vp.finish()
+        self._hand_off_segments()
+        self._maybe_start_postprocess()
+        self.inference_done.set()
+        if self._post_thread is not None:
+            self._post_thread.join(timeout=60)
+        if self._errors:
+            raise self._errors[0]
+        return self.post_processor

@@ -721,7 +721,7 @@ class SAM2VideoPredictor:
         with open(path, "wb") as f:
             pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
 
-    def load_session_as_preload(self, path: str, keep_images: bool = False
+    def load_session_as_preload(self, path: str, keep_images: bool = True
                                 ) -> InferenceSession:
         """Load a saved session as a preload memory bank for a NEW video:
         all existing cond frames become pinned preload frames

@@ -1,0 +1,121 @@
+"""Postprocessor event parity vs the reference VideoPostProcessor."""
+
+import importlib.util
+import sys
+
+import numpy as np
+import pytest
+
+from det_sam2_tpu.app.postprocess import VideoPostProcessor
+
+from torch_ref import REFERENCE_ROOT, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+H, W = 1080, 1920
+
+
+def _load_ref_postprocessor():
+    # postprocess_det_sam2.py has a stray `from sympy import andre`
+    if "sympy" not in sys.modules:
+        import types
+
+        stub = types.ModuleType("sympy")
+        stub.andre = None
+        sys.modules["sympy"] = stub
+    spec = importlib.util.spec_from_file_location(
+        "ref_postprocess",
+        f"{REFERENCE_ROOT}/det_sam2_inference/postprocess_det_sam2.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod.VideoPostProcessor
+
+
+def _ball_mask(cx, cy, r=20):
+    m = np.zeros((1, H, W), bool)
+    yy, xx = np.ogrid[:H, :W]
+    m[0] = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+    return m
+
+
+def _make_segments():
+    """Scripted scenario: ball 1 rolls right and rebounds off the right
+    cushion; ball 2 collides with ball 3; ball 4 pots into left_up."""
+    segs = {}
+    for t in range(14):
+        frame = {}
+        # ball 1: crosses into the right buffer zone and bounces back
+        # (right cushion at x=1720; buffer extends to 1820)
+        x1 = 1770 - 40 * abs(t - 3)
+        frame[1] = _ball_mask(x1, 500)
+        # ball 2 approaches static ball 3, then both separate
+        if t <= 6:
+            frame[2] = _ball_mask(600 + 30 * t, 600)
+            frame[3] = _ball_mask(850, 600)
+        else:
+            frame[2] = _ball_mask(780 - 20 * (t - 6), 600)
+            frame[3] = _ball_mask(850 + 20 * (t - 6), 600)
+        # ball 4 rolls straight at the left_up hole and disappears at t=10
+        if t < 10:
+            frame[4] = _ball_mask(400 - 30 * t, 550 - 45 * t)
+        # white ball sits still somewhere
+        frame[16] = _ball_mask(1000, 900)
+        segs[t] = frame
+    return segs
+
+
+@pytest.fixture(scope="module")
+def pockets():
+    # six pocket boxes around the canonical anchors
+    out = []
+    for cx, cy in [(100, 100), (960, 20), (1820, 100),
+                   (100, 720), (960, 720), (1820, 720)]:
+        out.append(np.asarray([cx - 30, cy - 30, cx + 30, cy + 30], np.float32))
+    return out
+
+
+def test_event_parity_with_reference(pockets):
+    RefPP = _load_ref_postprocessor()
+    segs = _make_segments()
+
+    ref = RefPP()
+    ref.get_hole_name(pockets)
+    ref.get_boundary_from_holes()
+
+    mine = VideoPostProcessor()
+    mine.get_hole_name(pockets)
+    mine.get_boundary_from_holes()
+
+    # reference runs from a pickle path; give it the dict via a temp pkl
+    import pickle
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".pkl", delete=False) as f:
+        pickle.dump(segs, f)
+        path = f.name
+    ref.run(path)
+    mine.run(segs)
+
+    assert mine.effective_boundary == tuple(ref.effective_boundary)
+    assert sorted(mine.hole_names_and_positions) == sorted(
+        ref.hole_names_and_positions
+    )
+
+    # positions identical on every frame
+    for t in segs:
+        assert mine.balls_positions[t] == ref.balls_positions[t], f"frame {t}"
+    for t in mine.balls_velocities:
+        assert mine.balls_velocities[t] == ref.balls_velocities[t], f"frame {t}"
+
+    # events identical
+    assert mine.disappeared_balls == ref.disappeared_balls
+    assert mine.ball_collision == ref.ball_collision
+    assert mine.ball_rebound == ref.ball_rebound
+
+    # sanity: the scripted scenario actually triggered each event type
+    assert 4 in mine.disappeared_balls
+    assert any(mine.ball_collision.values())
+    assert any(mine.ball_rebound.values())
