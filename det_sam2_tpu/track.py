@@ -17,6 +17,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.layers import sdpa
@@ -93,6 +94,19 @@ def _conditioned_features(model, cfg, feat_o, bank, frame_idx, num_frames,
         num_mem_frames=lay.num_mem_frames,
         num_obj_ptr_tokens=lay.num_ptr_tokens,
     )
+
+
+_IMG_MEAN = np.asarray((0.485, 0.456, 0.406), np.float32)
+_IMG_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
+
+
+def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 (or raw float 0..255) frames -> fp32 ImageNet-normalized; float
+    inputs in normalized range pass through (parity tests feed those)."""
+    if img.dtype == jnp.uint8:
+        x = img.astype(jnp.float32) / 255.0
+        return (x - _IMG_MEAN) / _IMG_STD
+    return img.astype(jnp.float32)
 
 
 def _broadcast_feats(feats, o: int):
@@ -191,7 +205,11 @@ class SAM2Engine:
 
     @functools.cached_property
     def _encode_image_fn(self):
-        return jax.jit(nn.apply(lambda m, x: m.forward_image(x), self.model))
+        return jax.jit(
+            nn.apply(
+                lambda m, x: m.forward_image(normalize_image(x)), self.model
+            )
+        )
 
     def encode_image(self, img):
         """img [1, H, W, 3] normalized -> (feat_s0, feat_s1, feat)."""
@@ -243,7 +261,7 @@ class SAM2Engine:
             obj_valid = jnp.ones((bank.num_objects,), bool)
         return self._track_step_fn(bool(reverse))(
             {"params": self.params}, feats, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames), jnp.asarray(obj_valid),
+            np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)
@@ -307,7 +325,7 @@ class SAM2Engine:
             )
         return fn(
             {"params": self.params}, feats, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames),
+            np.int32(frame_idx), np.int32(num_frames),
             points.astype(jnp.float32), labels.astype(jnp.int32), prev_logits,
         )
 
@@ -346,7 +364,7 @@ class SAM2Engine:
         """mask_inputs: [O, H, W, 1] binary float at model resolution."""
         return self._mask_prompt_step_fn(bool(is_init), bool(reverse))(
             {"params": self.params}, feats, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames),
+            np.int32(frame_idx), np.int32(num_frames),
             mask_inputs.astype(jnp.float32),
         )
 
@@ -383,10 +401,10 @@ class SAM2Engine:
         if obj_valid is None:
             obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
         return self._encode_cond_fn(bool(is_mask_from_pts), bool(pinned))(
-            {"params": self.params}, feats, bank, jnp.int32(frame_idx),
-            low_res_masks.astype(jnp.float32),
-            object_score_logits.astype(jnp.float32), obj_ptr,
-            jnp.asarray(obj_valid),
+            {"params": self.params}, feats, bank, np.int32(frame_idx),
+            np.asarray(low_res_masks, np.float32),
+            np.asarray(object_score_logits, np.float32), obj_ptr,
+            np.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)
@@ -398,7 +416,7 @@ class SAM2Engine:
 
         def body(m: SAM2Model, img, bank: MemoryBank, frame_idx, num_frames,
                  obj_valid):
-            feats = m.forward_image(img)
+            feats = m.forward_image(normalize_image(img))
             o = bank.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
             pix = _conditioned_features(
@@ -435,7 +453,7 @@ class SAM2Engine:
             obj_valid = jnp.ones((bank.num_objects,), bool)
         return self._stream_step_fn(bool(reverse))(
             {"params": self.params}, img, bank,
-            jnp.int32(frame_idx), jnp.int32(num_frames), jnp.asarray(obj_valid),
+            np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
         )
 
     @functools.lru_cache(maxsize=None)

@@ -31,23 +31,29 @@ def _load_image_file(path: str, image_size: int) -> Tuple[np.ndarray, int, int]:
     return arr / 255.0, h, w
 
 
-def normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
-    """One RGB uint8/float frame [H, W, 3] -> normalized fp16
-    [image_size, image_size, 3] (cv2 bilinear resize, /255, ImageNet stats —
-    misc.py:329-346)."""
+def prepare_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
+    """One RGB uint8 frame [H, W, 3] -> resized uint8
+    [image_size, image_size, 3]. The reference resizes the uint8 frame with
+    cv2 and only then normalizes (misc.py:329-346); storing the resized
+    uint8 is byte-exact with that pipeline, 4x smaller than fp16, and the
+    /255 + ImageNet normalization runs on-device in fp32 (more precise than
+    the fork's fp16 frame buffer)."""
+    if frame_rgb.dtype != np.uint8:
+        frame_rgb = np.clip(frame_rgb, 0, 255).astype(np.uint8)
     if cv2 is not None:
-        img = cv2.resize(frame_rgb, (image_size, image_size)).astype(np.float32)
-    else:
-        from PIL import Image
+        return cv2.resize(frame_rgb, (image_size, image_size))
+    from PIL import Image
 
-        img = np.asarray(
-            Image.fromarray(frame_rgb.astype(np.uint8)).resize(
-                (image_size, image_size)
-            )
-        ).astype(np.float32)
-    img = img / 255.0
-    img = (img - IMG_MEAN) / IMG_STD
-    return img.astype(np.float16)
+    return np.asarray(
+        Image.fromarray(frame_rgb).resize((image_size, image_size))
+    )
+
+
+def normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
+    """Resize + normalize on host (fp32). Prefer prepare_frame + on-device
+    normalization for the streaming path."""
+    img = prepare_frame(frame_rgb, image_size).astype(np.float32) / 255.0
+    return ((img - IMG_MEAN) / IMG_STD).astype(np.float32)
 
 
 def load_video_frames(
@@ -61,13 +67,13 @@ def load_video_frames(
     """
     if isinstance(video_path, np.ndarray):
         h, w = video_path.shape[:2]
-        return [normalize_frame(video_path, image_size)], h, w
+        return [prepare_frame(video_path, image_size)], h, w
 
     if isinstance(video_path, list) and video_path and isinstance(
         video_path[0], np.ndarray
     ):
         h, w = video_path[0].shape[:2]
-        return [normalize_frame(f, image_size) for f in video_path], h, w
+        return [prepare_frame(f, image_size) for f in video_path], h, w
 
     if isinstance(video_path, list):
         img_paths = list(video_path)
@@ -94,7 +100,7 @@ def load_video_frames(
                 rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
                 if h is None:
                     h, w = rgb.shape[:2]
-                frames.append(normalize_frame(rgb, image_size))
+                frames.append(prepare_frame(rgb, image_size))
             cap.release()
             if not frames:
                 raise RuntimeError(f"no frames decoded from {video_path}")
@@ -107,17 +113,21 @@ def load_video_frames(
     h = w = None
     for p in img_paths:
         arr, h, w = _load_image_file(p, image_size)
-        frames.append(((arr - IMG_MEAN) / IMG_STD).astype(np.float16))
+        frames.append(np.clip(arr * 255.0, 0, 255).astype(np.uint8))
     return frames, h, w
 
 
 def tensor_to_frame_rgb(
-    frame_norm: np.ndarray,
+    frame: np.ndarray,
     original_size: Tuple[int, int] = (1920, 1080),
 ) -> np.ndarray:
-    """Approximate inverse of normalize_frame: normalized NHWC fp16 ->
-    uint8 RGB at original (W, H) size (misc.py:203-232)."""
-    img = frame_norm.astype(np.float32) * IMG_STD + IMG_MEAN
+    """Inverse of frame preparation: stored frame (uint8 resized, or
+    normalized float) -> uint8 RGB at original (W, H) size
+    (misc.py:203-232)."""
+    if frame.dtype == np.uint8:
+        img = frame.astype(np.float32) / 255.0
+    else:
+        img = frame.astype(np.float32) * IMG_STD + IMG_MEAN
     if cv2 is not None:
         img = cv2.resize(img, original_size)
     else:
@@ -150,3 +160,27 @@ def concat_points(old, points: np.ndarray, labels: np.ndarray):
         "point_coords": np.concatenate([old["point_coords"], points], axis=1),
         "point_labels": np.concatenate([old["point_labels"], labels], axis=1),
     }
+
+
+def resize_masks_np(masks: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Host-side bilinear resize of mask logits [..., h, w] -> [..., H, W]
+    (cv2 INTER_LINEAR matches torch align_corners=False semantics; used to
+    avoid large device->host transfers of video-res masks)."""
+    h, w = masks.shape[-2:]
+    oh, ow = int(out_hw[0]), int(out_hw[1])
+    if (h, w) == (oh, ow):
+        return masks
+    lead = masks.shape[:-2]
+    flat = masks.reshape(-1, h, w).astype(np.float32)
+    if cv2 is not None:
+        out = np.stack(
+            [cv2.resize(m, (ow, oh), interpolation=cv2.INTER_LINEAR)
+             for m in flat]
+        )
+    else:
+        from det_sam2_tpu.utils.resize import resize_weights
+
+        wy = resize_weights(h, oh, "bilinear")
+        wx = resize_weights(w, ow, "bilinear")
+        out = np.einsum("oh,nhw,pw->nop", wy, flat, wx)
+    return out.reshape(*lead, oh, ow)

@@ -36,7 +36,11 @@ from det_sam2_tpu.modeling.sam2_base import (
     apply_non_overlapping_constraints,
 )
 from det_sam2_tpu.track import SAM2Engine
-from det_sam2_tpu.utils.misc import concat_points, load_video_frames
+from det_sam2_tpu.utils.misc import (
+    concat_points,
+    load_video_frames,
+    resize_masks_np,
+)
 
 
 def _bucket(n: int) -> int:
@@ -104,6 +108,7 @@ class SAM2VideoPredictor:
         clear_non_cond_mem_for_multi_obj: bool = False,
         add_all_frames_to_correct_as_cond: bool = False,
         max_update_length_for_new_obj_id: int = 100,
+        mask_resize: str = "host",  # 'host' (cv2, cheap transfers) | 'device'
     ):
         self.engine = engine
         self.cfg = engine.cfg
@@ -113,6 +118,7 @@ class SAM2VideoPredictor:
         self.clear_non_cond_mem_for_multi_obj = clear_non_cond_mem_for_multi_obj
         self.add_all_frames_to_correct_as_cond = add_all_frames_to_correct_as_cond
         self.max_update_length_for_new_obj_id = max_update_length_for_new_obj_id
+        self.mask_resize = mask_resize
 
     # ------------------------------------------------------------------
     # state lifecycle
@@ -178,7 +184,7 @@ class SAM2VideoPredictor:
             raise KeyError(
                 f"frame {frame_idx} is not available (released or never loaded)"
             )
-        img = jnp.asarray(frame, jnp.float32)[None]
+        img = jnp.asarray(frame)[None]  # fp16 upload; device casts
         feats = self.engine.encode_image(img)
         session._feat_cache = (frame_idx, feats)
         return feats
@@ -313,9 +319,13 @@ class SAM2VideoPredictor:
                 continue
             m = np.asarray(row["pred_masks"], np.float32)
             if m.shape[-2:] != (h, w):
-                m = np.asarray(
-                    self.engine.resize_masks(jnp.asarray(m), (h, w)), np.float32
-                )
+                if self.mask_resize == "host":
+                    m = resize_masks_np(m, (h, w))
+                else:
+                    m = np.asarray(
+                        self.engine.resize_masks(jnp.asarray(m), (h, w)),
+                        np.float32,
+                    )
             masks[obj_idx] = m[0]
             ptrs[obj_idx] = np.asarray(row["obj_ptr"], np.float32)[0]
             scores[obj_idx] = np.asarray(
@@ -360,14 +370,21 @@ class SAM2VideoPredictor:
         (reference _get_orig_video_res_output :617-641)."""
         target = (session.video_height, session.video_width)
         if masks_np.shape[-2:] != target:
-            m = self.engine.resize_masks(
-                jnp.asarray(masks_np, np.float32), target
-            )
+            if self.mask_resize == "host":
+                m = resize_masks_np(np.asarray(masks_np, np.float32), target)
+            else:
+                m = np.asarray(
+                    self.engine.resize_masks(
+                        jnp.asarray(masks_np, np.float32), target
+                    )
+                )
         else:
-            m = jnp.asarray(masks_np, np.float32)
+            m = np.asarray(masks_np, np.float32)
         if self.non_overlap_masks:
-            m = apply_non_overlapping_constraints(m)
-        return np.asarray(m)
+            m = np.asarray(
+                apply_non_overlapping_constraints(jnp.asarray(m))
+            )
+        return m
 
     # ------------------------------------------------------------------
     # prompts
@@ -605,10 +622,17 @@ class SAM2VideoPredictor:
             )
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
+        # Phase 1: dispatch every step asynchronously (device round-trips
+        # over the accelerator link dominate per-frame latency; batching the
+        # downloads turns ~6 transfers/frame into ~1 per window). The fused
+        # stream_step uploads the fp16 frame and runs encode+track in one
+        # dispatch; the MemoryBank chains on-device through donation.
+        active = self._active_mask(session)
+        device_outs: list = []  # (frame_idx, out_dict_or_None, pred_masks_np)
         for frame_idx in processing_order:
             if frame_idx in session.cond_outputs:
                 out = session.cond_outputs[frame_idx]
-                pred_masks = out["pred_masks"]
+                device_outs.append((frame_idx, None, out["pred_masks"]))
                 if self.clear_non_cond_mem_around_input and (
                     self.clear_non_cond_mem_for_multi_obj
                     or session.num_objects <= 1
@@ -621,22 +645,39 @@ class SAM2VideoPredictor:
                 # only *prompted* non-cond frames are reused; ordinary tracked
                 # frames are re-inferred on revisit (reference :975-996) —
                 # this is how overlapping reverse windows refine each frame
-                pred_masks = session.noncond_outputs[frame_idx]["pred_masks"]
-            else:
-                feats = self._get_feats(session, frame_idx)
-                session.bank, out = self.engine.track_step(
-                    feats, session.bank, frame_idx, num_frames, reverse=reverse,
-                    obj_valid=jnp.asarray(self._active_mask(session)),
+                device_outs.append(
+                    (frame_idx, None,
+                     session.noncond_outputs[frame_idx]["pred_masks"])
                 )
-                masks_np = np.asarray(out["pred_masks"], np.float32)
+            else:
+                frame = session.frames.get(frame_idx)
+                if frame is None:
+                    raise KeyError(f"frame {frame_idx} is not available")
+                session._feat_cache = None  # features are fused into the step
+                session.bank, out = self.engine.stream_step(
+                    jnp.asarray(frame)[None], session.bank, frame_idx,
+                    num_frames, reverse=reverse, obj_valid=active,
+                )
+                device_outs.append((frame_idx, out, None))
+
+        # Phase 2: one bulk download, then store + yield
+        fetched = jax.device_get(
+            [o for _, o, _ in device_outs if o is not None]
+        )
+        it = iter(fetched)
+        for frame_idx, out, pred_masks in device_outs:
+            if out is not None:
+                host_out = next(it)
+                masks_np = np.asarray(host_out["pred_masks"], np.float32)
                 session.noncond_outputs[frame_idx] = {
                     "pred_masks": masks_np.astype(np.float16),
-                    "obj_ptr": np.asarray(out["obj_ptr"], np.float32),
+                    "obj_ptr": np.asarray(host_out["obj_ptr"], np.float32),
                     "object_score_logits": np.asarray(
-                        out["object_score_logits"], np.float32
+                        host_out["object_score_logits"], np.float32
                     ),
                     "valid": np.asarray(
-                        [i < session.num_objects for i in range(session.bank_objs)]
+                        [i < session.num_objects
+                         for i in range(session.bank_objs)]
                     ),
                 }
                 pred_masks = masks_np
