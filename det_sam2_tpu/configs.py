@@ -267,6 +267,7 @@ def tiny_test_config(**kw) -> SAM2Config:
     )
     defaults = dict(
         image_size=128,
+        fill_hole_area=0,  # parity tests: reference CC ext is unavailable
         cond_bank_size=4,
         noncond_bank_size=8,
         ptr_bank_size=8,

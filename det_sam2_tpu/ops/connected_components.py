@@ -1,0 +1,219 @@
+"""Connected components + hole filling: host C++ kernel and device JAX op.
+
+Replaces the reference's single native component, the CUDA union-find CC
+kernel (sam2/csrc/connected_components.cu:62-289) consumed by
+fill_holes_in_mask_scores (sam2/utils/misc.py:365-393) and
+SAM2Transforms.postprocess_masks (sam2/utils/transforms.py:84-120).
+
+Two implementations:
+  * HOST: `_cc_host.cpp` (union-find, ctypes; compiled on demand with g++)
+    for video-resolution postprocessing. numpy/cv2 fallback when no
+    compiler is available.
+  * DEVICE: `connected_components_jax` — iterative 8-neighbor min-label
+    propagation under lax.while_loop with areas via segment_sum. Static
+    shapes, jit-safe, runs inside the tracked-frame step so the
+    fill_hole_area=8 postprocess (build_sam.py:134) costs no transfers.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "_cc_host.cpp")
+_LIB_PATH = os.path.join(_HERE, "_cc_host.so")
+_LIB: Optional[ctypes.CDLL] = None
+_LIB_TRIED = False
+
+
+def _build_host_lib() -> Optional[str]:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+             "-o", _LIB_PATH],
+            check=True,
+            capture_output=True,
+        )
+        return _LIB_PATH
+    except Exception:
+        return None
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LIB_TRIED
+    if _LIB is not None or _LIB_TRIED:
+        return _LIB
+    _LIB_TRIED = True
+    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build_host_lib()
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.connected_components_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.connected_components_u8.restype = None
+        _LIB = lib
+    except OSError:
+        _LIB = None
+    return _LIB
+
+
+def get_connected_components_np(
+    masks: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """masks [..., H, W] (bool/uint8) -> (labels int32, areas int32), both
+    [..., H, W]. 8-connectivity; labels > 0 on foreground."""
+    m = np.ascontiguousarray(np.asarray(masks) != 0, dtype=np.uint8)
+    lead = m.shape[:-2]
+    h, w = m.shape[-2:]
+    flat = m.reshape(-1, h, w)
+    n = flat.shape[0]
+    labels = np.zeros((n, h, w), np.int32)
+    areas = np.zeros((n, h, w), np.int32)
+
+    lib = _get_lib()
+    if lib is not None:
+        lib.connected_components_u8(
+            flat.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            n, h, w,
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            areas.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+    else:  # cv2 fallback
+        import cv2
+
+        for i in range(n):
+            cnt, lab, stats, _ = cv2.connectedComponentsWithStats(flat[i], 8)
+            labels[i] = lab
+            sizes = stats[:, cv2.CC_STAT_AREA]
+            sizes = sizes.copy()
+            sizes[0] = 0
+            areas[i] = sizes[lab]
+    return labels.reshape(*lead, h, w), areas.reshape(*lead, h, w)
+
+
+def fill_holes_in_mask_scores_np(mask: np.ndarray, max_area: float) -> np.ndarray:
+    """Host equivalent of sam2/utils/misc.py:fill_holes_in_mask_scores."""
+    assert max_area > 0
+    labels, areas = get_connected_components_np(mask <= 0)
+    is_hole = (labels > 0) & (areas <= max_area)
+    return np.where(is_hole, 0.1, mask)
+
+
+def fill_holes_and_sprinkles_np(
+    masks: np.ndarray, threshold: float, max_hole_area: float,
+    max_sprinkle_area: float,
+) -> np.ndarray:
+    """Host equivalent of SAM2Transforms.postprocess_masks cleanup."""
+    out = masks.astype(np.float32)
+    if max_hole_area > 0:
+        labels, areas = get_connected_components_np(out <= threshold)
+        is_hole = (labels > 0) & (areas <= max_hole_area)
+        out = np.where(is_hole, threshold + 10.0, out)
+    if max_sprinkle_area > 0:
+        labels, areas = get_connected_components_np(out > threshold)
+        is_spr = (labels > 0) & (areas <= max_sprinkle_area)
+        out = np.where(is_spr, threshold - 10.0, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# device (JAX) implementation
+# ---------------------------------------------------------------------------
+
+
+def _propagate_once(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
+    """One 8-neighbor min-propagation step. labels [..., H, W] int32 with
+    a large sentinel on background."""
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+
+    def shift(x, dy, dx):
+        return jnp.roll(x, (dy, dx), axis=(-2, -1))
+
+    out = labels
+    h, w = labels.shape[-2], labels.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = shift(labels, dy, dx)
+            # mask off wrap-around rows/cols from jnp.roll
+            valid = jnp.ones((h, w), bool)
+            if dy == 1:
+                valid &= row >= 1
+            elif dy == -1:
+                valid &= row < h - 1
+            if dx == 1:
+                valid &= col >= 1
+            elif dx == -1:
+                valid &= col < w - 1
+            nb = jnp.where(valid, nb, big)
+            out = jnp.minimum(out, nb)
+    return jnp.where(fg, out, big)
+
+
+def connected_components_jax(
+    masks: jnp.ndarray, max_iters: Optional[int] = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Device CC: masks [..., H, W] bool -> (labels int32 [+1-based],
+    areas int32). Iterative min-label propagation to a fixed point."""
+    fg = masks != 0
+    h, w = fg.shape[-2], fg.shape[-1]
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    init = jnp.where(
+        fg,
+        jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2) * w
+        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1),
+        big,
+    )
+
+    def cond(state):
+        labels, changed, it = state
+        # worst-case component diameter is h*w (snakes); the loop exits at
+        # the fixed point long before that in practice
+        limit = max_iters if max_iters is not None else h * w
+        return changed & (it < limit)
+
+    def body(state):
+        labels, _, it = state
+        new = _propagate_once(labels, fg)
+        return new, jnp.any(new != labels), it + 1
+
+    labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
+
+    flat = jnp.where(fg, labels, 0).reshape(-1, h * w)
+    ones = fg.reshape(-1, h * w).astype(jnp.int32)
+
+    def per_image(lab_row, ones_row):
+        seg = jax.ops.segment_sum(ones_row, lab_row, num_segments=h * w)
+        return seg[lab_row]
+
+    areas = jax.vmap(per_image)(flat, ones).reshape(fg.shape)
+    areas = jnp.where(fg, areas, 0)
+    labels_out = jnp.where(fg, labels + 1, 0)
+    return labels_out, areas
+
+
+def fill_holes_in_mask_scores_jax(
+    mask: jnp.ndarray, max_area: float
+) -> jnp.ndarray:
+    """Device fill-holes on mask logits [..., H, W] (misc.py:365-393);
+    background components with area <= max_area become 0.1 foreground."""
+    labels, areas = connected_components_jax(mask <= 0)
+    is_hole = (labels > 0) & (areas <= max_area)
+    return jnp.where(is_hole, jnp.asarray(0.1, mask.dtype), mask)

@@ -21,6 +21,7 @@ import numpy as np
 
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.layers import sdpa
+from det_sam2_tpu.ops.connected_components import fill_holes_in_mask_scores_jax
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
 from det_sam2_tpu.state import (
@@ -30,6 +31,15 @@ from det_sam2_tpu.state import (
     write_noncond,
 )
 from det_sam2_tpu.utils.resize import torch_resize_hw
+
+
+def _maybe_fill_holes(cfg: SAM2Config, low_res: jnp.ndarray) -> jnp.ndarray:
+    """Device-side fill_holes_in_mask_scores on the stored/propagated
+    low-res logits (sam2_video_predictor.py:1341-1347, fill_hole_area=8 via
+    build_sam.py:134). Runs inside the jitted step: no extra transfers."""
+    if cfg.fill_hole_area > 0:
+        return fill_holes_in_mask_scores_jax(low_res, float(cfg.fill_hole_area))
+    return low_res
 
 
 def use_multimask(cfg: SAM2Config, is_init: bool, num_pts: int) -> bool:
@@ -242,6 +252,7 @@ class SAM2Engine:
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
             new_bank = write_noncond(bank, frame_idx, smem, obj_ptr,
                                      obj_valid=obj_valid)
+            low_res = _maybe_fill_holes(cfg, low_res)
             out = {
                 "pred_masks": low_res,
                 "obj_ptr": obj_ptr,
@@ -293,6 +304,7 @@ class SAM2Engine:
                     multimask_output=multimask,
                 )
             )
+            low_res = _maybe_fill_holes(cfg, low_res)
             return {
                 "pred_masks": low_res,
                 "obj_ptr": obj_ptr,
@@ -330,6 +342,53 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=None)
+    def _predict_step_fn(self, num_pts: int, has_mask: bool, multimask: bool):
+        """Memory-less SAM prediction (image predictor / AMG): the no-mem
+        path of the heads with full multimask outputs returned."""
+        cfg, model = self.cfg, self.model
+
+        def body(m: SAM2Model, feats, points, labels, mask_input):
+            o = points.shape[0]
+            s0, s1, feat = _broadcast_feats(feats, o)
+            pix = m.no_mem_features(feat)
+            (multimasks, _, ious, low_res, _, _, obj_logits) = (
+                m.forward_sam_heads(
+                    pix,
+                    point_coords=points,
+                    point_labels=labels,
+                    mask_inputs=mask_input if has_mask else None,
+                    high_res_features=[s0, s1],
+                    multimask_output=multimask,
+                )
+            )
+            return {
+                "multimasks": multimasks,  # [B, M, s4, s4] fp32 logits
+                "ious": ious,
+                "low_res_masks": low_res,
+                "object_score_logits": obj_logits,
+            }
+
+        return jax.jit(nn.apply(body, model))
+
+    def predict_step(self, feats, points, labels, mask_input=None,
+                     multimask: bool = True):
+        """points [B, P, 2] px, labels [B, P]; mask_input [B,1,s4,s4] or
+        None. Batched single-image prediction (image predictor / AMG)."""
+        p = points.shape[1]
+        fn = self._predict_step_fn(p, mask_input is not None, bool(multimask))
+        if mask_input is None:
+            mask_input = np.zeros((1,), np.float32)  # placeholder leaf
+        else:
+            mask_input = np.asarray(mask_input, np.float32)[:, 0, :, :, None]
+        return fn(
+            {"params": self.params},
+            feats,
+            np.asarray(points, np.float32),
+            np.asarray(labels, np.int32),
+            mask_input,
+        )
+
+    @functools.lru_cache(maxsize=None)
     def _mask_prompt_step_fn(self, is_init: bool, reverse: bool):
         cfg, model = self.cfg, self.model
 
@@ -350,6 +409,7 @@ class SAM2Engine:
                     multimask_output=use_multimask(cfg, is_init, 0),
                 )
             (_, _, ious, low_res, _, obj_ptr, obj_logits) = outs
+            low_res = _maybe_fill_holes(cfg, low_res)
             return {
                 "pred_masks": low_res,
                 "obj_ptr": obj_ptr,
@@ -437,6 +497,7 @@ class SAM2Engine:
                 bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim), obj_ptr,
                 obj_valid=obj_valid,
             )
+            low_res = _maybe_fill_holes(cfg, low_res)
             return new_bank, {
                 "pred_masks": low_res,
                 "obj_ptr": obj_ptr,

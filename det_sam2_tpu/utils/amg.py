@@ -1,0 +1,273 @@
+"""Automatic-mask-generation utilities (numpy).
+
+Behavioral equivalents of /root/reference/sam2/utils/amg.py (:18-369):
+MaskData container, RLE encode/decode, stability score, point grids, crop
+boxes, uncrop helpers, batched mask->box, plus a numpy greedy NMS replacing
+torchvision.ops.batched_nms.
+"""
+
+from __future__ import annotations
+
+import math
+from copy import deepcopy
+from itertools import product
+from typing import Any, Dict, Generator, List, Tuple
+
+import numpy as np
+
+
+class MaskData:
+    """Dict of parallel arrays/lists with filter/cat (amg.py:18-90)."""
+
+    def __init__(self, **kwargs):
+        for v in kwargs.values():
+            assert isinstance(v, (list, np.ndarray))
+        self._stats = dict(kwargs)
+
+    def __setitem__(self, key, item):
+        self._stats[key] = item
+
+    def __getitem__(self, key):
+        return self._stats[key]
+
+    def __delitem__(self, key):
+        del self._stats[key]
+
+    def items(self):
+        return self._stats.items()
+
+    def filter(self, keep: np.ndarray):
+        for k, v in self._stats.items():
+            if v is None:
+                continue
+            if isinstance(v, np.ndarray):
+                self._stats[k] = v[keep]
+            elif isinstance(v, list):
+                if keep.dtype == bool:
+                    self._stats[k] = [a for a, m in zip(v, keep) if m]
+                else:
+                    self._stats[k] = [v[i] for i in keep]
+
+    def cat(self, other: "MaskData"):
+        for k, v in other.items():
+            if k not in self._stats or self._stats[k] is None:
+                self._stats[k] = deepcopy(v)
+            elif isinstance(v, np.ndarray):
+                self._stats[k] = np.concatenate([self._stats[k], v], axis=0)
+            elif isinstance(v, list):
+                self._stats[k] = self._stats[k] + deepcopy(v)
+
+
+def batch_iterator(batch_size: int, *args) -> Generator[List[Any], None, None]:
+    assert len(args) > 0 and all(len(a) == len(args[0]) for a in args)
+    n_batches = len(args[0]) // batch_size + int(len(args[0]) % batch_size != 0)
+    for b in range(n_batches):
+        yield [arg[b * batch_size : (b + 1) * batch_size] for arg in args]
+
+
+def mask_to_rle(masks: np.ndarray) -> List[Dict[str, Any]]:
+    """[B, H, W] binary -> uncompressed column-major RLEs (amg.py:131-158)."""
+    b, h, w = masks.shape
+    out = []
+    for i in range(b):
+        flat = masks[i].transpose().reshape(-1).astype(bool)  # column-major
+        change = np.nonzero(flat[1:] != flat[:-1])[0] + 1
+        idx = np.concatenate([[0], change, [h * w]])
+        counts = np.diff(idx).tolist()
+        if flat[0]:
+            counts = [0] + counts
+        out.append({"size": [h, w], "counts": counts})
+    return out
+
+
+def rle_to_mask(rle: Dict[str, Any]) -> np.ndarray:
+    """(amg.py:161-172)"""
+    h, w = rle["size"]
+    mask = np.empty(h * w, dtype=bool)
+    idx = 0
+    parity = False
+    for count in rle["counts"]:
+        mask[idx : idx + count] = parity
+        idx += count
+        parity = not parity
+    return mask.reshape(w, h).transpose()
+
+
+def area_from_rle(rle: Dict[str, Any]) -> int:
+    return sum(rle["counts"][1::2])
+
+
+def calculate_stability_score(
+    masks: np.ndarray, mask_threshold: float, threshold_offset: float
+) -> np.ndarray:
+    """(amg.py:180-198)"""
+    flat = masks.reshape(*masks.shape[:-2], -1)
+    intersections = (flat > (mask_threshold + threshold_offset)).sum(-1)
+    unions = (flat > (mask_threshold - threshold_offset)).sum(-1)
+    return intersections / np.maximum(unions, 1)
+
+
+def build_point_grid(n_per_side: int) -> np.ndarray:
+    """(amg.py:201-208)"""
+    offset = 1 / (2 * n_per_side)
+    points_one_side = np.linspace(offset, 1 - offset, n_per_side)
+    px = np.tile(points_one_side[None, :], (n_per_side, 1))
+    py = np.tile(points_one_side[:, None], (1, n_per_side))
+    return np.stack([px, py], axis=-1).reshape(-1, 2)
+
+
+def build_all_layer_point_grids(
+    n_per_side: int, n_layers: int, scale_per_layer: int
+) -> List[np.ndarray]:
+    return [
+        build_point_grid(int(n_per_side / (scale_per_layer ** i)))
+        for i in range(n_layers + 1)
+    ]
+
+
+def generate_crop_boxes(
+    im_size: Tuple[int, int], n_layers: int, overlap_ratio: float
+) -> Tuple[List[List[int]], List[int]]:
+    """(amg.py:222-256)"""
+    crop_boxes, layer_idxs = [], []
+    im_h, im_w = im_size
+    short_side = min(im_h, im_w)
+    crop_boxes.append([0, 0, im_w, im_h])
+    layer_idxs.append(0)
+
+    def crop_len(orig_len, n_crops, overlap):
+        return int(math.ceil((overlap * (n_crops - 1) + orig_len) / n_crops))
+
+    for i_layer in range(n_layers):
+        n_crops_per_side = 2 ** (i_layer + 1)
+        overlap = int(overlap_ratio * short_side * (2 / n_crops_per_side))
+        crop_w = crop_len(im_w, n_crops_per_side, overlap)
+        crop_h = crop_len(im_h, n_crops_per_side, overlap)
+        crop_box_x0 = [int((crop_w - overlap) * i) for i in range(n_crops_per_side)]
+        crop_box_y0 = [int((crop_h - overlap) * i) for i in range(n_crops_per_side)]
+        for x0, y0 in product(crop_box_x0, crop_box_y0):
+            box = [x0, y0, min(x0 + crop_w, im_w), min(y0 + crop_h, im_h)]
+            crop_boxes.append(box)
+            layer_idxs.append(i_layer + 1)
+    return crop_boxes, layer_idxs
+
+
+def uncrop_boxes_xyxy(boxes: np.ndarray, crop_box: List[int]) -> np.ndarray:
+    x0, y0 = crop_box[0], crop_box[1]
+    return boxes + np.asarray([[x0, y0, x0, y0]], boxes.dtype)
+
+
+def uncrop_points(points: np.ndarray, crop_box: List[int]) -> np.ndarray:
+    x0, y0 = crop_box[0], crop_box[1]
+    return points + np.asarray([[x0, y0]], points.dtype)
+
+
+def uncrop_masks(
+    masks: np.ndarray, crop_box: List[int], orig_h: int, orig_w: int
+) -> np.ndarray:
+    x0, y0, x1, y1 = crop_box
+    if x0 == 0 and y0 == 0 and x1 == orig_w and y1 == orig_h:
+        return masks
+    pad = ((0, 0), (y0, orig_h - y1), (x0, orig_w - x1))
+    return np.pad(masks, pad)
+
+
+def is_box_near_crop_edge(
+    boxes: np.ndarray, crop_box: List[int], orig_box: List[int], atol: float = 20.0
+) -> np.ndarray:
+    """(amg.py:91-106)"""
+    crop = np.asarray(crop_box, np.float32)
+    orig = np.asarray(orig_box, np.float32)
+    boxes = uncrop_boxes_xyxy(boxes, crop_box).astype(np.float32)
+    near_crop = np.isclose(boxes, crop[None], atol=atol, rtol=0)
+    near_image = np.isclose(boxes, orig[None], atol=atol, rtol=0)
+    near_crop = near_crop & ~near_image
+    return near_crop.any(axis=1)
+
+
+def box_xyxy_to_xywh(box: np.ndarray) -> np.ndarray:
+    out = np.array(box, dtype=box.dtype if hasattr(box, "dtype") else None)
+    out = out.copy()
+    out[2] = out[2] - out[0]
+    out[3] = out[3] - out[1]
+    return out
+
+
+def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
+    """[..., H, W] -> xyxy [..., 4]; empty masks -> zeros (amg.py:328-369)."""
+    if masks.size == 0:
+        return np.zeros((*masks.shape[:-2], 4), np.float32)
+    shape = masks.shape[:-2]
+    h, w = masks.shape[-2:]
+    flat = masks.reshape(-1, h, w) > 0
+    out = np.zeros((flat.shape[0], 4), np.float32)
+    for i, m in enumerate(flat):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            out[i] = (xs.min(), ys.min(), xs.max() + 1 - 1, ys.max() + 1 - 1)
+    return out.reshape(*shape, 4)
+
+
+def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Pairwise IoU of xyxy boxes [N,4] x [M,4] -> [N,M]."""
+    area_a = np.clip(a[:, 2] - a[:, 0], 0, None) * np.clip(
+        a[:, 3] - a[:, 1], 0, None
+    )
+    area_b = np.clip(b[:, 2] - b[:, 0], 0, None) * np.clip(
+        b[:, 3] - b[:, 1], 0, None
+    )
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(rb - lt, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return inter / np.maximum(union, 1e-9)
+
+
+def nms(boxes: np.ndarray, scores: np.ndarray, iou_threshold: float) -> np.ndarray:
+    """Greedy NMS -> kept indices (replaces torchvision batched_nms)."""
+    order = np.argsort(-scores)
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        ious = box_iou(boxes[i : i + 1], boxes)[0]
+        suppressed |= ious > iou_threshold
+        suppressed[i] = True
+    return np.asarray(keep, np.int64)
+
+
+def remove_small_regions(
+    mask: np.ndarray, area_thresh: float, mode: str
+) -> Tuple[np.ndarray, bool]:
+    """Remove small connected holes or islands via cv2 (amg.py:292-315)."""
+    import cv2
+
+    assert mode in ("holes", "islands")
+    correct_holes = mode == "holes"
+    working_mask = (correct_holes ^ mask).astype(np.uint8)
+    n_labels, regions, stats, _ = cv2.connectedComponentsWithStats(working_mask, 8)
+    sizes = stats[:, -1][1:]
+    small_regions = [i + 1 for i, s in enumerate(sizes) if s < area_thresh]
+    if not small_regions:
+        return mask, False
+    fill_labels = [0] + small_regions
+    if not correct_holes:
+        fill_labels = [i for i in range(n_labels) if i not in fill_labels]
+        if not fill_labels:
+            fill_labels = [int(np.argmax(sizes)) + 1]
+    mask = np.isin(regions, fill_labels)
+    return mask, True
+
+
+def coco_encode_rle(uncompressed_rle: Dict[str, Any]) -> Dict[str, Any]:
+    try:
+        from pycocotools import mask as mask_utils  # pragma: no cover
+    except ImportError as e:
+        raise ImportError("coco_encode_rle requires pycocotools") from e
+    h, w = uncompressed_rle["size"]
+    rle = mask_utils.frPyObjects(uncompressed_rle, h, w)
+    rle["counts"] = rle["counts"].decode("utf-8")
+    return rle

@@ -1,0 +1,124 @@
+"""Image predictor + AMG: utils parity vs reference amg.py, API mechanics."""
+
+import numpy as np
+import pytest
+import torch
+
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.image_predictor import SAM2ImagePredictor
+from det_sam2_tpu.automatic_mask_generator import SAM2AutomaticMaskGenerator
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.utils import amg as amg_np
+
+from torch_ref import load_reference, reference_available
+
+pytestmark = pytest.mark.skipif(
+    not reference_available(), reason="reference repo not mounted"
+)
+
+
+def test_amg_utils_parity():
+    load_reference()
+    from sam2.utils import amg as ref_amg
+
+    rng = np.random.default_rng(0)
+    masks = (rng.uniform(size=(3, 24, 31)) > 0.6).astype(np.float32) * 8 - 4
+
+    got = amg_np.calculate_stability_score(masks, 0.0, 1.0)
+    want = ref_amg.calculate_stability_score(
+        torch.from_numpy(masks), 0.0, 1.0
+    ).numpy()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    np.testing.assert_allclose(
+        amg_np.build_point_grid(7), ref_amg.build_point_grid(7), atol=1e-7
+    )
+
+    got_boxes, got_layers = amg_np.generate_crop_boxes((480, 640), 2, 0.34)
+    want_boxes, want_layers = ref_amg.generate_crop_boxes((480, 640), 2, 0.34)
+    assert got_boxes == want_boxes and got_layers == want_layers
+
+    binary = masks > 0
+    got_rles = amg_np.mask_to_rle(binary)
+    want_rles = ref_amg.mask_to_rle_pytorch(torch.from_numpy(binary))
+    assert got_rles == want_rles
+    for rle in got_rles:
+        np.testing.assert_array_equal(
+            amg_np.rle_to_mask(rle), ref_amg.rle_to_mask(rle)
+        )
+
+    got_box = amg_np.batched_mask_to_box(binary)
+    want_box = ref_amg.batched_mask_to_box(torch.from_numpy(binary)).numpy()
+    np.testing.assert_array_equal(got_box, want_box)
+
+
+def test_nms_greedy():
+    boxes = np.asarray(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], np.float32
+    )
+    scores = np.asarray([0.9, 0.8, 0.7], np.float32)
+    keep = amg_np.nms(boxes, scores, 0.5)
+    assert keep.tolist() == [0, 2]
+
+
+@pytest.fixture(scope="module")
+def image_predictor():
+    return SAM2ImagePredictor(SAM2Engine(tiny_test_config()))
+
+
+@pytest.mark.slow
+def test_image_predictor_api(image_predictor):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (96, 120, 3), np.uint8)
+    image_predictor.set_image(img)
+
+    masks, ious, low_res = image_predictor.predict(
+        point_coords=np.asarray([[40.0, 50.0]]),
+        point_labels=np.asarray([1]),
+        multimask_output=True,
+    )
+    assert masks.shape == (3, 96, 120) and masks.dtype == bool
+    assert ious.shape == (3,)
+    assert low_res.shape[0] == 3
+
+    # box + point combined; single-mask output with dynamic stability
+    masks1, ious1, _ = image_predictor.predict(
+        box=np.asarray([10.0, 10.0, 60.0, 70.0]),
+        point_coords=np.asarray([[30.0, 30.0]]),
+        point_labels=np.asarray([1]),
+        multimask_output=False,
+    )
+    assert masks1.shape == (1, 96, 120)
+
+    # batch predict row 0 == single predict with the same prompt
+    coords = np.asarray([[[40.0, 50.0]], [[80.0, 20.0]]], np.float32)
+    labels = np.ones((2, 1), np.int32)
+    bmasks, bious, _ = image_predictor.predict_batch(coords, labels)
+    s_masks, s_ious, _ = image_predictor.predict(
+        point_coords=np.asarray([[40.0, 50.0]]),
+        point_labels=np.asarray([1]),
+    )
+    np.testing.assert_array_equal(bmasks[0], s_masks)
+    np.testing.assert_allclose(bious[0], s_ious, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_amg_generates_records(image_predictor):
+    rng = np.random.default_rng(1)
+    img = np.full((64, 64, 3), 40, np.uint8)
+    img[20:44, 20:44] = (220, 60, 60)
+    amg = SAM2AutomaticMaskGenerator(
+        image_predictor,
+        points_per_side=4,
+        points_per_batch=16,
+        pred_iou_thresh=0.0,
+        stability_score_thresh=0.0,
+        min_mask_region_area=0,
+    )
+    records = amg.generate(img)
+    assert len(records) > 0
+    rec = records[0]
+    for key in ("segmentation", "area", "bbox", "predicted_iou",
+                "point_coords", "stability_score", "crop_box"):
+        assert key in rec
+    assert rec["segmentation"].shape == (64, 64)
