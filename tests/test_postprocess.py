@@ -1,7 +1,7 @@
 """Postprocessor event parity vs the reference VideoPostProcessor."""
 
 import importlib.util
-import sys
+
 
 import numpy as np
 import pytest
@@ -18,13 +18,8 @@ H, W = 1080, 1920
 
 
 def _load_ref_postprocessor():
-    # postprocess_det_sam2.py has a stray `from sympy import andre`
-    if "sympy" not in sys.modules:
-        import types
-
-        stub = types.ModuleType("sympy")
-        stub.andre = None
-        sys.modules["sympy"] = stub
+    # (postprocess_det_sam2.py has a stray `from sympy import andre`; the
+    # real sympy satisfies it)
     spec = importlib.util.spec_from_file_location(
         "ref_postprocess",
         f"{REFERENCE_ROOT}/det_sam2_inference/postprocess_det_sam2.py",
