@@ -1,0 +1,156 @@
+"""HTTP serving for the video predictor (stdlib; no Flask dependency).
+
+Maps the reference demo backend's session API (demo/backend/server/app.py
+:30-36 + inference/predictor.py) onto a ThreadingHTTPServer with JSON
+endpoints; propagation streams newline-delimited JSON (the reference streams
+multipart chunks, inference/multipart.py).
+
+Endpoints (all POST with JSON bodies unless noted):
+  GET  /healthy
+  POST /start_session          {"video_path": ...}
+  POST /add_points             {"session_id", "frame_index", "object_id",
+                                "points", "labels", "clear_old_points"}
+  POST /add_box                {"session_id", "frame_index", "object_id", "box"}
+  POST /add_mask               {"session_id", "frame_index", "object_id", "mask"}
+  POST /clear_points_in_frame  {"session_id", "frame_index", "object_id"}
+  POST /remove_object          {"session_id", "object_id"}
+  POST /reset_session          {"session_id"}
+  POST /propagate_in_video     {"session_id", "start_frame_index",
+                                "max_frame_num_to_track", "reverse"}
+                               -> streamed JSON lines
+  POST /cancel_propagate_in_video {"session_id"}
+  POST /close_session          {"session_id"}
+"""
+
+from __future__ import annotations
+
+import json
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from det_sam2_tpu.serving.inference_api import InferenceAPI
+
+
+def make_handler(api: InferenceAPI):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _json(self, code: int, payload: dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthy":
+                self._json(200, {"status": "ok"})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", "0"))
+                body = json.loads(self.rfile.read(length) or b"{}")
+                route = self.path.rstrip("/")
+                if route == "/start_session":
+                    self._json(200, api.start_session(body["video_path"]))
+                elif route == "/add_points":
+                    self._json(200, api.add_points(
+                        body["session_id"], body["frame_index"],
+                        body["object_id"], body["points"], body["labels"],
+                        body.get("clear_old_points", True),
+                    ))
+                elif route == "/add_box":
+                    self._json(200, api.add_box(
+                        body["session_id"], body["frame_index"],
+                        body["object_id"], body["box"],
+                    ))
+                elif route == "/add_mask":
+                    self._json(200, api.add_mask(
+                        body["session_id"], body["frame_index"],
+                        body["object_id"], body["mask"],
+                    ))
+                elif route == "/clear_points_in_frame":
+                    self._json(200, api.clear_points_in_frame(
+                        body["session_id"], body["frame_index"],
+                        body["object_id"],
+                    ))
+                elif route == "/remove_object":
+                    self._json(200, api.remove_object(
+                        body["session_id"], body["object_id"]
+                    ))
+                elif route == "/reset_session":
+                    self._json(200, api.reset_session(body["session_id"]))
+                elif route == "/cancel_propagate_in_video":
+                    self._json(200, api.cancel_propagate_in_video(
+                        body["session_id"]
+                    ))
+                elif route == "/close_session":
+                    self._json(200, api.close_session(body["session_id"]))
+                elif route == "/propagate_in_video":
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+                    for item in api.propagate_in_video(
+                        body["session_id"],
+                        body.get("start_frame_index"),
+                        body.get("max_frame_num_to_track"),
+                        body.get("reverse", False),
+                    ):
+                        chunk = (json.dumps(item) + "\n").encode()
+                        self.wfile.write(
+                            f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n"
+                        )
+                    self.wfile.write(b"0\r\n\r\n")
+                else:
+                    self._json(404, {"error": f"unknown route {route}"})
+            except Exception as e:  # surface errors as 500 JSON
+                traceback.print_exc()
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:
+                    pass
+
+    return Handler
+
+
+def serve(api: InferenceAPI, host: str = "0.0.0.0", port: int = 7263):
+    """Blocking server (reference backend default port 7263)."""
+    server = ThreadingHTTPServer((host, port), make_handler(api))
+    server.serve_forever()
+
+
+def main():  # pragma: no cover
+    import argparse
+
+    import jax.numpy as jnp
+
+    from det_sam2_tpu.configs import MODEL_CONFIGS
+    from det_sam2_tpu.convert import load_torch_checkpoint
+    from det_sam2_tpu.track import SAM2Engine
+    from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="hiera_s", choices=MODEL_CONFIGS)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--port", type=int, default=7263)
+    args = ap.parse_args()
+
+    cfg = MODEL_CONFIGS[args.model]()
+    params = (
+        load_torch_checkpoint(args.checkpoint, cfg) if args.checkpoint else None
+    )
+    engine = SAM2Engine(cfg, params=params, dtype=jnp.bfloat16)
+    api = InferenceAPI(SAM2VideoPredictor(engine))
+    serve(api, port=args.port)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

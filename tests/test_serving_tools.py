@@ -1,0 +1,140 @@
+"""Serving HTTP API + VOS tools + J&F benchmark."""
+
+import json
+import os
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.serving.inference_api import InferenceAPI
+from det_sam2_tpu.serving.server import make_handler
+from det_sam2_tpu.tools.sav_benchmark import (
+    db_eval_boundary,
+    db_eval_iou,
+    evaluate_object,
+    evaluate_videos,
+)
+from det_sam2_tpu.tools.vos_inference import (
+    save_palettised_png,
+    vos_inference,
+)
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.utils.amg import rle_to_mask
+from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+H, W = 96, 128
+
+
+def _frames(n):
+    out = []
+    for t in range(n):
+        f = np.full((H, W, 3), 30, np.uint8)
+        f[20:50, 8 + 3 * t : 32 + 3 * t] = (200, 30, 30)
+        out.append(f)
+    return out
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    return SAM2VideoPredictor(SAM2Engine(tiny_test_config()))
+
+
+@pytest.mark.slow
+def test_http_serving_roundtrip(predictor, tmp_path_factory):
+    from http.server import ThreadingHTTPServer
+
+    api = InferenceAPI(predictor)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(api))
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+
+    # write frames to disk so start_session can take a path
+    frames_dir = tmp_path_factory.mktemp("frames")
+    from PIL import Image
+
+    for i, f in enumerate(_frames(4)):
+        Image.fromarray(f).save(frames_dir / f"{i:05d}.png")
+
+    def post(route, payload):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{route}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=120)
+
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/healthy", timeout=10
+    ) as r:
+        assert json.load(r)["status"] == "ok"
+
+    with post("/start_session", {"video_path": str(frames_dir)}) as r:
+        session = json.load(r)
+    sid = session["session_id"]
+    assert session["num_frames"] == 4
+
+    with post("/add_box", {"session_id": sid, "frame_index": 0,
+                           "object_id": 1, "box": [8, 20, 32, 50]}) as r:
+        out = json.load(r)
+    assert out["frame_index"] == 0
+    rle = out["results"][0]["mask"]
+    mask = rle_to_mask(rle)
+    assert mask.shape == (H, W)
+
+    with post("/propagate_in_video",
+              {"session_id": sid, "start_frame_index": 0,
+               "max_frame_num_to_track": 3}) as r:
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert [l["frame_index"] for l in lines] == [0, 1, 2, 3]
+    for l in lines:
+        assert l["results"][0]["object_id"] == 1
+
+    with post("/close_session", {"session_id": sid}) as r:
+        assert json.load(r)["success"]
+    server.shutdown()
+
+
+def test_jf_metrics():
+    a = np.zeros((64, 64), bool)
+    a[10:40, 10:40] = True
+    assert db_eval_iou(a, a) == 1.0
+    assert db_eval_boundary(a, a) == 1.0
+    b = np.zeros((64, 64), bool)
+    b[12:42, 10:40] = True  # shifted by 2
+    assert 0.7 < db_eval_iou(a, b) < 1.0
+    assert 0.5 < db_eval_boundary(a, b) <= 1.0
+    # empty-vs-empty and empty-vs-something
+    e = np.zeros((64, 64), bool)
+    assert db_eval_iou(e, e) == 1.0 and db_eval_boundary(e, e) == 1.0
+    assert db_eval_iou(a, e) == 0.0 and db_eval_boundary(a, e) == 0.0
+
+    res = evaluate_object([a, a, a, a], [a, b, b, a])
+    assert 0 < res["J&F"] < 1
+    agg = evaluate_videos({"v": {1: ([a, a, a], [a, a, a])}})
+    assert agg["J&F"] == 1.0
+
+
+@pytest.mark.slow
+def test_vos_inference_tool(predictor, tmp_path):
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames"
+    masks_dir = tmp_path / "gt"
+    out_dir = tmp_path / "out"
+    frames_dir.mkdir()
+    masks_dir.mkdir()
+    for i, f in enumerate(_frames(4)):
+        Image.fromarray(f).save(frames_dir / f"{i:05d}.png")
+    gt0 = {1: np.zeros((H, W), bool)}
+    gt0[1][20:50, 8:32] = True
+    save_palettised_png(gt0, str(masks_dir / "00000.png"))
+
+    vos_inference(predictor, str(frames_dir), str(masks_dir), str(out_dir))
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"{i:05d}.png" for i in range(4)]
+    arr = np.asarray(Image.open(out_dir / "00000.png"))
+    assert set(np.unique(arr)) <= {0, 1}
