@@ -54,18 +54,20 @@ def main():
         out["obj_ptr"], is_mask_from_pts=True,
     )
 
-    # warmup / compile
+    # warmup / compile; the final jnp.sum forces the whole dispatch chain
+    # (block_until_ready alone does not reliably synchronize over remote
+    # device tunnels)
     t = 1
     for _ in range(WARMUP):
         bank, out = engine.stream_step(img, bank, t, 10_000)
         t += 1
-    jax.block_until_ready(out["pred_masks"])
+    float(jnp.sum(out["pred_masks"]))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         bank, out = engine.stream_step(img, bank, t, 10_000)
         t += 1
-    jax.block_until_ready(out["pred_masks"])
+    float(jnp.sum(out["pred_masks"]))
     dt = time.perf_counter() - t0
 
     fps = ITERS / dt

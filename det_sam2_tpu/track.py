@@ -21,6 +21,7 @@ import numpy as np
 
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.layers import sdpa
+from det_sam2_tpu.ops.attention import flash_attention
 from det_sam2_tpu.ops.connected_components import fill_holes_in_mask_scores_jax
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
@@ -135,9 +136,15 @@ class SAM2Engine:
         cfg: SAM2Config,
         params=None,
         dtype=jnp.float32,
-        attention_fn=sdpa,
+        attention_fn=None,
         seed: int = 0,
     ):
+        if attention_fn is None:
+            # Pallas flash kernel on TPU (falls back internally for small
+            # problems); plain XLA sdpa elsewhere
+            attention_fn = (
+                flash_attention if jax.default_backend() == "tpu" else sdpa
+            )
         self.cfg = cfg
         self.dtype = dtype
         self.model = SAM2Model(cfg=cfg, attention_fn=attention_fn, dtype=dtype)

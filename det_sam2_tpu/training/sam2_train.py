@@ -28,6 +28,15 @@ from det_sam2_tpu.modeling.sam2_base import SAM2Model
 from det_sam2_tpu.track import use_multimask
 
 
+def _lazy_samplers():
+    from det_sam2_tpu.training.samplers import (
+        sample_box_points,
+        sample_random_points_from_errors,
+    )
+
+    return sample_box_points, sample_random_points_from_errors
+
+
 def mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
     """GT mask [B, H, W] (bool/float) -> xyxy box [B, 4] in pixels
     (equivalent of sam2/utils/misc.py:mask_to_box :64-87). Empty masks give
@@ -113,9 +122,22 @@ def forward_training(
     cfg: SAM2Config,
     images: jnp.ndarray,  # [T, B, H, W, 3]
     gt_masks: jnp.ndarray,  # [T, B, H, W]
+    rng: jnp.ndarray = None,
+    prompt_kind: str = "box",  # 'box' | 'point' | 'mask' (host-sampled per
+    # step with the reference's prob_to_use_* probabilities)
+    num_correction_steps: int = 0,
+    num_init_cond_frames: int = 1,
+    box_noise: float = 0.1,
 ) -> List[Dict]:
     """Run tracking over a training clip; returns per-frame output dicts
-    consumable by MultiStepMultiMasksAndIous."""
+    consumable by MultiStepMultiMasksAndIous.
+
+    Scope notes vs training/model/sam2.py: prompt kind and correction count
+    are per-step host choices (same marginal distribution as the reference's
+    in-batch sampling, one compiled graph per variant); corrections apply to
+    the init cond frames (the reference additionally samples random
+    mid-sequence frames to correct)."""
+    sample_box_points, sample_random_points_from_errors = _lazy_samplers()
     t_total, b = images.shape[0], images.shape[1]
     flat = images.reshape(t_total * b, *images.shape[2:])
     s0, s1, feat = model.forward_image(flat)
@@ -127,7 +149,9 @@ def forward_training(
             feat[t * b : (t + 1) * b],
         )
 
-    cond_ts = [0]
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    cond_ts = list(range(num_init_cond_frames))
     mem_feats: Dict[int, jnp.ndarray] = {}
     mem_ptrs: Dict[int, jnp.ndarray] = {}
     outs: List[Dict] = []
@@ -135,14 +159,26 @@ def forward_training(
     for t in range(t_total):
         f0, f1, ft = frame_feats(t)
         is_init = t in cond_ts
+        multistep_hr, multistep_ious, multistep_logits = [], [], []
         if is_init:
             pix = model.no_mem_features(ft)
-            boxes = mask_to_box(gt_masks[t])  # [B, 4] in image pixels
-            coords = boxes.reshape(b, 2, 2)
-            labels = jnp.broadcast_to(
-                jnp.asarray([2, 3], jnp.int32)[None], (b, 2)
-            )
-            multimask = use_multimask(cfg, is_init=True, num_pts=2)
+            rng, k_prompt = jax.random.split(rng)
+            if prompt_kind == "box":
+                coords, labels = sample_box_points(
+                    k_prompt, gt_masks[t], noise=box_noise
+                )
+                mask_input = None
+            elif prompt_kind == "point":
+                coords, labels = sample_random_points_from_errors(
+                    k_prompt, gt_masks[t], None, num_pt=1
+                )
+                mask_input = None
+            elif prompt_kind == "mask":
+                # GT mask as the dense prompt (prob_to_use_mask_input path)
+                coords, labels = None, None
+                mask_input = gt_masks[t].astype(jnp.float32)[..., None]
+            else:
+                raise ValueError(f"unknown prompt_kind {prompt_kind}")
         else:
             mem, pos, n_tiles, n_ptr = _training_memory(
                 model, cfg, t, cond_ts, mem_feats, mem_ptrs, t_total
@@ -152,17 +188,53 @@ def forward_training(
                 ft, mem, pos, valid,
                 num_mem_frames=n_tiles, num_obj_ptr_tokens=n_ptr,
             )
-            coords, labels = None, None
-            multimask = use_multimask(cfg, is_init=False, num_pts=0)
+            coords, labels, mask_input = None, None, None
 
+        num_pts = 0 if labels is None else labels.shape[1]
+        multimask = use_multimask(cfg, is_init=is_init, num_pts=num_pts)
         (multimasks, multimasks_hr, ious, low_res, high_res, obj_ptr,
          obj_logits) = model.forward_sam_heads(
             pix,
             point_coords=coords,
             point_labels=labels,
+            mask_inputs=mask_input,
             high_res_features=[f0, f1],
             multimask_output=multimask,
         )
+        multistep_hr.append(multimasks_hr)
+        multistep_ious.append(ious)
+        multistep_logits.append(obj_logits)
+
+        # iterative correction clicks on prompted frames
+        # (SAM2Train._iter_correct_pt_sampling, training/model/sam2.py:448)
+        if is_init and num_correction_steps > 0 and prompt_kind != "mask":
+            acc_coords, acc_labels = coords, labels
+            for _ in range(num_correction_steps):
+                rng, k_corr = jax.random.split(rng)
+                pred_bin = high_res[:, 0] > 0
+                new_pt, new_lb = sample_random_points_from_errors(
+                    k_corr, gt_masks[t], pred_bin, num_pt=1
+                )
+                acc_coords = jnp.concatenate([acc_coords, new_pt], axis=1)
+                acc_labels = jnp.concatenate([acc_labels, new_lb], axis=1)
+                multimask = use_multimask(
+                    cfg, is_init=True, num_pts=acc_labels.shape[1]
+                )
+                (multimasks, multimasks_hr, ious, low_res, high_res,
+                 obj_ptr, obj_logits) = model.forward_sam_heads(
+                    pix,
+                    point_coords=acc_coords,
+                    point_labels=acc_labels,
+                    mask_inputs=jnp.clip(low_res, -32.0, 32.0)[
+                        :, 0, :, :, None
+                    ],
+                    high_res_features=[f0, f1],
+                    multimask_output=multimask,
+                )
+                multistep_hr.append(multimasks_hr)
+                multistep_ious.append(ious)
+                multistep_logits.append(obj_logits)
+
         maskmem = model.encode_memory(
             ft, high_res, obj_logits, binarize=False
         )
@@ -170,9 +242,9 @@ def forward_training(
         mem_ptrs[t] = obj_ptr
         outs.append(
             {
-                "multistep_pred_multimasks_high_res": [multimasks_hr],
-                "multistep_pred_ious": [ious],
-                "multistep_object_score_logits": [obj_logits],
+                "multistep_pred_multimasks_high_res": multistep_hr,
+                "multistep_pred_ious": multistep_ious,
+                "multistep_object_score_logits": multistep_logits,
                 "pred_masks_high_res": high_res,
             }
         )

@@ -78,10 +78,19 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Optional[MultiStepMultiMasksAndIous] = None,
     mesh: Optional[Mesh] = None,
+    prompt_kind: str = "box",
+    num_correction_steps: int = 0,
 ) -> Callable:
     """Returns train_step(params, opt_state, images [T,B,H,W,3],
-    gt_masks [T,B,H,W]) -> (params, opt_state, metrics). When a mesh is
-    given, the batch axis (axis 1) is data-parallel."""
+    gt_masks [T,B,H,W], rng) -> (params, opt_state, metrics). When a mesh
+    is given, the batch axis (axis 1) is data-parallel.
+
+    Gradients flow through XLA attention (the Pallas inference kernels have
+    no VJP), so the model is rebuilt here with the sdpa attention_fn —
+    parameter structure is unchanged."""
+    from det_sam2_tpu.modeling.layers import sdpa
+
+    model = SAM2Model(cfg=cfg, attention_fn=sdpa, dtype=model.dtype)
     if loss_fn is None:
         loss_fn = MultiStepMultiMasksAndIous(
             DEFAULT_WEIGHTS,
@@ -90,20 +99,25 @@ def make_train_step(
             pred_obj_scores=cfg.pred_obj_scores,
         )
 
-    def loss_of(params, images, gt_masks):
+    def loss_of(params, images, gt_masks, rng):
         outs = model.apply(
             {"params": params},
             cfg,
             images,
             gt_masks,
-            method=lambda m, c, i, g: forward_training(m, c, i, g),
+            rng,
+            method=lambda m, c, i, g, r: forward_training(
+                m, c, i, g, rng=r,
+                prompt_kind=prompt_kind,
+                num_correction_steps=num_correction_steps,
+            ),
         )
         losses = loss_fn(outs, gt_masks.astype(jnp.float32))
         return losses[CORE_LOSS_KEY], losses
 
-    def step(params, opt_state, images, gt_masks):
+    def step(params, opt_state, images, gt_masks, rng):
         (loss, losses), grads = jax.value_and_grad(loss_of, has_aux=True)(
-            params, images, gt_masks
+            params, images, gt_masks, rng
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -118,7 +132,7 @@ def make_train_step(
     batch_sh = NamedSharding(mesh, P(None, "data"))
     return jax.jit(
         step,
-        in_shardings=(repl, repl, batch_sh, batch_sh),
+        in_shardings=(repl, repl, batch_sh, batch_sh, repl),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )

@@ -1,0 +1,73 @@
+"""Flash attention kernel vs the XLA sdpa reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from det_sam2_tpu.modeling.layers import sdpa
+from det_sam2_tpu.ops.attention import flash_attention
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape, dtype=np.float32)
+    )
+
+
+@pytest.mark.parametrize(
+    "b,h,nq,nk,d",
+    [
+        (1, 1, 256, 512, 64),
+        (2, 2, 256, 1024, 64),
+        (1, 1, 260, 700, 64),  # non-divisible -> internal padding
+    ],
+)
+def test_flash_matches_sdpa(b, h, nq, nk, d):
+    q = _rand((b, h, nq, d), 0)
+    k = _rand((b, h, nk, d), 1)
+    v = _rand((b, h, nk, d), 2)
+    want = np.asarray(sdpa(q, k, v))
+    got = np.asarray(
+        flash_attention(q, k, v, block_q=128, block_k=128, min_flops=0)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_with_mask_and_tile_skip():
+    b, h, nq, nk, d = 2, 1, 128, 1024, 64
+    q = _rand((b, h, nq, d), 0)
+    k = _rand((b, h, nk, d), 1)
+    v = _rand((b, h, nk, d), 2)
+    mask = np.zeros((b, nk), bool)
+    mask[0, :256] = True  # row 0: only the first two 128-tiles valid
+    mask[1, 100:400] = True  # row 1: straddles tiles
+    bias = jnp.where(jnp.asarray(mask), 0.0, -1e30)[:, None, None, :]
+    want = np.asarray(sdpa(q, k, v, bias=bias))
+    got = np.asarray(
+        flash_attention(q, k, v, bias=bias, block_q=128, block_k=128,
+                        min_flops=0)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_fully_masked_rows_are_zero():
+    b, h, nq, nk, d = 1, 1, 128, 256, 64
+    q = _rand((b, h, nq, d), 0)
+    k = _rand((b, h, nk, d), 1)
+    v = _rand((b, h, nk, d), 2)
+    bias = jnp.full((b, 1, 1, nk), -1e30)
+    got = np.asarray(
+        flash_attention(q, k, v, bias=bias, block_q=128, block_k=128,
+                        min_flops=0)
+    )
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+def test_small_problems_fall_back():
+    q = _rand((1, 1, 8, 16), 0)
+    out = flash_attention(q, q, q)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(sdpa(q, q, q)), atol=1e-6
+    )

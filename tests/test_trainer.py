@@ -1,0 +1,98 @@
+"""Trainer loop on the mesh: synthetic data, correction clicks, checkpoint
+save/resume round-trip."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.training.dataset import (
+    RandomUniformSampler,
+    SyntheticRawDataset,
+    VOSDataLoader,
+)
+from det_sam2_tpu.training.samplers import (
+    sample_box_points,
+    sample_random_points_from_errors,
+)
+from det_sam2_tpu.training.train_step import OptimConf
+from det_sam2_tpu.training.trainer import Trainer, TrainerConf
+
+
+def test_samplers_shapes_and_semantics():
+    key = jax.random.PRNGKey(0)
+    masks = np.zeros((2, 32, 32), np.float32)
+    masks[0, 8:20, 10:22] = 1
+    masks[1, 4:10, 4:10] = 1
+    coords, labels = sample_box_points(key, jnp.asarray(masks), noise=0.1)
+    assert coords.shape == (2, 2, 2) and labels.shape == (2, 2)
+    assert labels.tolist() == [[2, 3], [2, 3]]
+
+    gt = jnp.asarray(masks) > 0
+    pred = jnp.zeros_like(gt)
+    pts, lbl = sample_random_points_from_errors(key, gt, pred, num_pt=1)
+    assert pts.shape == (2, 1, 2) and lbl.shape == (2, 1)
+    # all-FN errors -> positive clicks inside the GT region
+    assert lbl.tolist() == [[1], [1]]
+    for b in range(2):
+        x, y = int(pts[b, 0, 0]), int(pts[b, 0, 1])
+        assert masks[b, y, x] == 1
+
+
+def test_dataloader_batches():
+    ds = SyntheticRawDataset(num_videos=3, num_frames=6)
+    loader = VOSDataLoader(
+        ds, RandomUniformSampler(num_frames=3, max_num_objects=1),
+        image_size=64, batch_size=2,
+    )
+    batches = list(loader.batches(2))
+    assert len(batches) == 2
+    imgs, masks = batches[0]
+    assert imgs.shape == (3, 2, 64, 64, 3)
+    assert masks.shape == (3, 2, 64, 64)
+    assert masks.max() == 1.0
+
+
+@pytest.mark.slow
+def test_trainer_epoch_and_checkpoint_roundtrip(tmp_path):
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    conf = TrainerConf(
+        num_epochs=1,
+        steps_per_epoch=2,
+        log_every=1,
+        checkpoint_dir=str(tmp_path),
+        prompt_kind_probs={"box": 1.0},
+        num_correction_steps=1,
+    )
+    trainer = Trainer(
+        cfg, engine, OptimConf(base_lr=1e-4, total_steps=4, warmup_steps=1),
+        conf,
+    )
+    ds = SyntheticRawDataset(num_videos=4, num_frames=4)
+    loader = VOSDataLoader(
+        ds, RandomUniformSampler(num_frames=2), image_size=cfg.image_size,
+        batch_size=8,
+    )
+    trainer.run(loader)
+    assert trainer.global_step == 2
+    assert os.path.exists(tmp_path / "scalars.jsonl")
+    ckpts = glob.glob(str(tmp_path / "ckpt_*"))
+    assert ckpts
+
+    # resume restores step counters and params
+    trainer2 = Trainer(
+        cfg, SAM2Engine(cfg, seed=123),
+        OptimConf(base_lr=1e-4, total_steps=4, warmup_steps=1), conf,
+    )
+    trainer2.load_checkpoint(ckpts[0])
+    assert trainer2.global_step == 2
+    a = jax.tree_util.tree_leaves(trainer.params)[0]
+    b = jax.tree_util.tree_leaves(trainer2.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -124,12 +124,14 @@ def test_train_step_runs_on_mesh():
     leaf_before = np.asarray(
         jax.tree_util.tree_leaves(engine.params)[0]
     ).copy()
-    params, opt_state, metrics = step(engine.params, opt_state, images, gt)
+    params, opt_state, metrics = step(engine.params, opt_state, images, gt,
+                                      jax.random.PRNGKey(0))
     loss = float(metrics[CORE_LOSS_KEY])
     assert np.isfinite(loss) and loss > 0
     # one more step (params/opt_state are donated): loss stays finite and
     # params move (warmup lr is 0 at step 0, >0 at step 1)
-    params2, _, metrics2 = step(params, opt_state, images, gt)
+    params2, _, metrics2 = step(params, opt_state, images, gt,
+                                jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics2[CORE_LOSS_KEY]))
     leaf_after = np.asarray(jax.tree_util.tree_leaves(params2)[0])
     assert np.abs(leaf_after - leaf_before).sum() > 0
