@@ -1,0 +1,103 @@
+"""Model builders: the public construction API.
+
+Behavioral equivalent of /root/reference/sam2/build_sam.py (build_sam2 :68,
+build_sam2_video_predictor :111, HF model table :33-66). Hydra YAML is
+replaced by the dataclass configs in det_sam2_tpu/configs.py; checkpoints
+are the reference's torch ``.pt`` files converted on load (convert.py) or
+orbax directories saved by the trainer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import MODEL_CONFIGS, SAM2Config
+from det_sam2_tpu.image_predictor import SAM2ImagePredictor
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+# reference HF-hub ids (build_sam.py:33-66), for user-facing error messages
+HF_MODEL_IDS = {
+    "facebook/sam2.1-hiera-tiny": "hiera_t",
+    "facebook/sam2.1-hiera-small": "hiera_s",
+    "facebook/sam2.1-hiera-base-plus": "hiera_b+",
+    "facebook/sam2.1-hiera-large": "hiera_l",
+}
+
+
+def _resolve_cfg(model_cfg, **overrides) -> SAM2Config:
+    if isinstance(model_cfg, SAM2Config):
+        cfg = model_cfg
+        if overrides:
+            import dataclasses
+
+            cfg = dataclasses.replace(cfg, **overrides)
+        return cfg
+    if isinstance(model_cfg, str):
+        key = model_cfg
+        if key in HF_MODEL_IDS:
+            key = HF_MODEL_IDS[key]
+        key = (
+            key.replace("sam2.1_", "").replace(".yaml", "")
+            .replace("configs/sam2.1/", "")
+        )
+        if key in MODEL_CONFIGS:
+            return MODEL_CONFIGS[key](**overrides)
+    raise ValueError(
+        f"unknown model config {model_cfg!r}; use one of {list(MODEL_CONFIGS)}"
+    )
+
+
+def _load_params(checkpoint: Optional[str], cfg: SAM2Config):
+    if checkpoint is None:
+        return None
+    if os.path.isdir(checkpoint):  # orbax directory from the trainer
+        import jax
+        import orbax.checkpoint as ocp
+
+        engine = SAM2Engine(cfg)  # template structure (random init)
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(
+            os.path.abspath(checkpoint),
+            {"params": engine.params},
+        )
+        return restored["params"]
+    from det_sam2_tpu.convert import load_torch_checkpoint
+
+    return load_torch_checkpoint(checkpoint, cfg)
+
+
+def build_sam2_engine(
+    model_cfg="hiera_s",
+    checkpoint: Optional[str] = None,
+    dtype=jnp.bfloat16,
+    **overrides,
+) -> SAM2Engine:
+    cfg = _resolve_cfg(model_cfg, **overrides)
+    params = _load_params(checkpoint, cfg)
+    return SAM2Engine(cfg, params=params, dtype=dtype)
+
+
+def build_sam2(
+    model_cfg="hiera_s", checkpoint: Optional[str] = None,
+    dtype=jnp.bfloat16, **overrides,
+) -> SAM2ImagePredictor:
+    """Image predictor (reference build_sam2 :68)."""
+    return SAM2ImagePredictor(
+        build_sam2_engine(model_cfg, checkpoint, dtype, **overrides)
+    )
+
+
+def build_sam2_video_predictor(
+    model_cfg="hiera_s", checkpoint: Optional[str] = None,
+    dtype=jnp.bfloat16, **overrides,
+) -> SAM2VideoPredictor:
+    """Video predictor with the reference's postprocessing defaults already
+    baked into SAM2Config (binarize_mask_from_pts, fill_hole_area=8,
+    dynamic multimask stability — build_sam.py:111-146)."""
+    return SAM2VideoPredictor(
+        build_sam2_engine(model_cfg, checkpoint, dtype, **overrides)
+    )
