@@ -525,6 +525,90 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=None)
+    def _propagate_window_fn(self, t: int, reverse: bool):
+        """Whole propagation window as ONE jitted lax.scan: T frames stream
+        through encode+track+write with the MemoryBank as the scan carry.
+        One upload, one dispatch, one download per window — the per-frame
+        host round-trips of the reference's Python loop
+        (sam2_video_predictor.py:975-1025) disappear entirely.
+
+        Frames flagged in `skips` (prompted/consolidated frames whose
+        outputs are reused) pass through via lax.cond without inference or
+        bank writes."""
+        cfg, model = self.cfg, self.model
+        s4 = cfg.image_size // 4
+
+        def body(m: SAM2Model, images, bank: MemoryBank, frame_indices,
+                 skips, num_frames, obj_valid):
+            def run_step(bank, img, frame_idx):
+                feats = m.forward_image(normalize_image(img)[None])
+                o = bank.num_objects
+                s0, s1, feat = _broadcast_feats(feats, o)
+                pix = _conditioned_features(
+                    m, cfg, feat, bank, frame_idx, num_frames, reverse,
+                    is_init=False,
+                )
+                multimask = use_multimask(cfg, is_init=False, num_pts=0)
+                (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                    m.forward_sam_heads(
+                        pix, high_res_features=[s0, s1],
+                        multimask_output=multimask,
+                    )
+                )
+                maskmem = m.encode_memory(
+                    feat, high_res, obj_logits,
+                    binarize=False,
+                    apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
+                )
+                new_bank = write_noncond(
+                    bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim),
+                    obj_ptr, obj_valid=obj_valid,
+                )
+                low_res = _maybe_fill_holes(cfg, low_res)
+                return new_bank, (
+                    low_res.astype(jnp.float32),
+                    obj_ptr.astype(jnp.float32),
+                    obj_logits.astype(jnp.float32),
+                )
+
+            def skip_step(bank, img, frame_idx):
+                o = bank.num_objects
+                return bank, (
+                    jnp.zeros((o, 1, s4, s4), jnp.float32),
+                    jnp.zeros((o, cfg.hidden_dim), jnp.float32),
+                    jnp.zeros((o, 1), jnp.float32),
+                )
+
+            def step(bank, xs):
+                img, frame_idx, skip = xs
+                return jax.lax.cond(skip, skip_step, run_step, bank, img,
+                                    frame_idx)
+
+            return jax.lax.scan(
+                step, bank, (images, frame_indices, skips)
+            )
+
+        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+
+    def propagate_window(self, images, bank, frame_indices, skips,
+                         num_frames, reverse=False, obj_valid=None):
+        """images [T, H, W, 3] uint8; frame_indices/skips [T].
+        Returns (new_bank, (pred_masks [T,O,1,s4,s4], obj_ptr [T,O,C],
+        object_score_logits [T,O,1]))."""
+        t = images.shape[0]
+        if obj_valid is None:
+            obj_valid = np.ones((bank.num_objects,), bool)
+        return self._propagate_window_fn(t, bool(reverse))(
+            {"params": self.params},
+            jnp.asarray(images),
+            bank,
+            np.asarray(frame_indices, np.int32),
+            np.asarray(skips, bool),
+            np.int32(num_frames),
+            np.asarray(obj_valid),
+        )
+
+    @functools.lru_cache(maxsize=None)
     def _resize_fn(self, h: int, w: int):
         @jax.jit
         def fn(masks):

@@ -622,6 +622,73 @@ class SAM2VideoPredictor:
             )
             processing_order = range(start_frame_idx, end_frame_idx + 1)
 
+        # FAST PATH: the whole window as one jitted lax.scan when every
+        # frame image is available and no cond-frame side effects are
+        # needed (engine.propagate_window) — one upload/dispatch/download.
+        order = list(processing_order)
+        clear_nc = self.clear_non_cond_mem_around_input and (
+            self.clear_non_cond_mem_for_multi_obj or session.num_objects <= 1
+        )
+        def _skip(fi):
+            return fi in session.cond_outputs or (
+                fi in session.consolidated_noncond
+                and fi in session.noncond_outputs
+            )
+        fast_ok = (
+            len(order) > 1
+            and not clear_nc
+            and all(_skip(fi) or fi in session.frames for fi in order)
+        )
+        if fast_ok:
+            shape = (self.image_size, self.image_size, 3)
+            zeros = np.zeros(shape, np.uint8)
+            images = np.stack(
+                [
+                    session.frames.get(fi, zeros) if not _skip(fi) else zeros
+                    for fi in order
+                ]
+            )
+            skips = np.asarray([_skip(fi) for fi in order], bool)
+            session._feat_cache = None
+            session.bank, (masks_t, ptrs_t, scores_t) = (
+                self.engine.propagate_window(
+                    images, session.bank, np.asarray(order, np.int32), skips,
+                    session.num_frames, reverse=reverse,
+                    obj_valid=self._active_mask(session),
+                )
+            )
+            masks_t = np.asarray(masks_t, np.float32)
+            ptrs_t = np.asarray(ptrs_t, np.float32)
+            scores_t = np.asarray(scores_t, np.float32)
+            valid_row = np.asarray(
+                [i < session.num_objects for i in range(session.bank_objs)]
+            )
+            for i, frame_idx in enumerate(order):
+                if _skip(frame_idx):
+                    store = (
+                        session.cond_outputs
+                        if frame_idx in session.cond_outputs
+                        else session.noncond_outputs
+                    )
+                    pred_masks = np.asarray(
+                        store[frame_idx]["pred_masks"], np.float32
+                    )
+                else:
+                    pred_masks = masks_t[i]
+                    session.noncond_outputs[frame_idx] = {
+                        "pred_masks": pred_masks.astype(np.float16),
+                        "obj_ptr": ptrs_t[i],
+                        "object_score_logits": scores_t[i],
+                        "valid": valid_row.copy(),
+                    }
+                session.frames_already_tracked[frame_idx] = {
+                    "reverse": reverse
+                }
+                yield frame_idx, session.obj_ids, self._video_res_masks(
+                    session, pred_masks
+                )
+            return
+
         # Phase 1: dispatch every step asynchronously (device round-trips
         # over the accelerator link dominate per-frame latency; batching the
         # downloads turns ~6 transfers/frame into ~1 per window). The fused
