@@ -132,11 +132,9 @@ class SAM2AutomaticMaskGenerator:
             data.cat(crop_data)
 
         if len(crop_boxes) > 1 and len(data["boxes"]) > 0:
+            # prefer masks from smaller crops (reference :~210)
             scores = 1.0 / np.asarray(
-                [b[2] * b[3] for b in map(
-                    lambda cb: [0, 0, cb[2] - cb[0], cb[3] - cb[1]],
-                    data["crop_boxes"],
-                )],
+                [(cb[2] - cb[0]) * (cb[3] - cb[1]) for cb in data["crop_boxes"]],
                 np.float32,
             )
             keep = nms(

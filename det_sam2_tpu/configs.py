@@ -177,7 +177,6 @@ class SAM2Config:
     cond_bank_size: int = 8
     cond_attn_size: int = 4  # cond tiles attended per frame (static)
     noncond_bank_size: int = 32
-    ptr_bank_size: int = 32
     max_objects: int = 8
 
     @property
@@ -270,7 +269,6 @@ def tiny_test_config(**kw) -> SAM2Config:
         fill_hole_area=0,  # parity tests: reference CC ext is unavailable
         cond_bank_size=4,
         noncond_bank_size=8,
-        ptr_bank_size=8,
         max_objects=2,
     )
     defaults.update(kw)
