@@ -158,3 +158,84 @@ def test_track_parity_box_prompt_then_track():
             got[t]["pred_masks"], ref_outs[t]["pred_masks"],
             rtol=1e-3, atol=5e-3, err_msg=f"frame {t} masks",
         )
+
+
+@pytest.mark.slow
+def test_track_parity_with_temporal_stride():
+    """memory_temporal_stride_for_eval=2: the stride-r non-cond selection
+    arithmetic (sam2_base.py:528-562) must match the reference."""
+    import dataclasses
+
+    torch.set_num_threads(1)
+    cfg = dataclasses.replace(CFG, memory_temporal_stride_for_eval=2)
+    ref = build_reference_sam2(cfg)
+    params = convert_sam2_base(torch_sd(ref), cfg)
+    engine = SAM2Engine(cfg, params=params)
+
+    rng = np.random.default_rng(5)
+    n_frames = 8
+    frames = rng.standard_normal(
+        (n_frames, 3, cfg.image_size, cfg.image_size)
+    ).astype(np.float32) * 0.3
+    box_points = np.array([[[20.0, 24.0], [90.0, 100.0]]], dtype=np.float32)
+    box_labels = np.array([[2, 3]], dtype=np.int32)
+
+    output_dict = {"cond_frame_outputs": {}, "non_cond_frame_outputs": {}}
+    ref_masks = []
+    with torch.no_grad():
+        for t in range(n_frames):
+            img = torch.from_numpy(frames[t : t + 1])
+            vision_feats, vision_pos, feat_sizes = _ref_features(ref, img)
+            if t == 0:
+                out = ref.track_step(
+                    frame_idx=0, is_init_cond_frame=True,
+                    current_vision_feats=vision_feats,
+                    current_vision_pos_embeds=vision_pos,
+                    feat_sizes=feat_sizes,
+                    point_inputs={
+                        "point_coords": torch.from_numpy(box_points),
+                        "point_labels": torch.from_numpy(box_labels),
+                    },
+                    mask_inputs=None, output_dict=output_dict,
+                    num_frames=n_frames, run_mem_encoder=False,
+                )
+                mm, mpe = _ref_encode_cond(
+                    ref, vision_feats, feat_sizes,
+                    out["pred_masks"], out["object_score_logits"],
+                )
+                output_dict["cond_frame_outputs"][0] = {
+                    "maskmem_features": mm, "maskmem_pos_enc": mpe,
+                    "pred_masks": out["pred_masks"], "obj_ptr": out["obj_ptr"],
+                    "object_score_logits": out["object_score_logits"],
+                }
+            else:
+                out = ref.track_step(
+                    frame_idx=t, is_init_cond_frame=False,
+                    current_vision_feats=vision_feats,
+                    current_vision_pos_embeds=vision_pos,
+                    feat_sizes=feat_sizes, point_inputs=None, mask_inputs=None,
+                    output_dict=output_dict, num_frames=n_frames,
+                    run_mem_encoder=True,
+                )
+                output_dict["non_cond_frame_outputs"][t] = out
+            ref_masks.append(out["pred_masks"].numpy())
+
+    bank = init_bank(cfg, num_objects=1)
+    for t in range(n_frames):
+        img = jnp.asarray(frames[t : t + 1].transpose(0, 2, 3, 1))
+        feats = engine.encode_image(img)
+        if t == 0:
+            out = engine.prompt_step(
+                feats, bank, 0, n_frames,
+                jnp.asarray(box_points), jnp.asarray(box_labels), is_init=True,
+            )
+            bank = engine.encode_cond_memory(
+                feats, bank, 0, out["pred_masks"],
+                out["object_score_logits"], out["obj_ptr"],
+            )
+        else:
+            bank, out = engine.track_step(feats, bank, t, n_frames)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_masks"]), ref_masks[t],
+            rtol=1e-3, atol=5e-3, err_msg=f"stride-2 frame {t}",
+        )
