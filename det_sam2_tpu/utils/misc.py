@@ -184,3 +184,67 @@ def resize_masks_np(masks: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
         wx = resize_weights(w, ow, "bilinear")
         out = np.einsum("oh,nhw,pw->nop", wy, flat, wx)
     return out.reshape(*lead, oh, ow)
+
+
+class AsyncFrameLoader:
+    """Background-thread frame preparation (the fork's AsyncVideoFrameLoader,
+    misc.py:102-200): accepts image paths or RGB ndarrays, resizes on a
+    daemon thread ahead of consumption, and exposes indexed access that
+    blocks only until the requested frame is ready."""
+
+    def __init__(self, sources, image_size: int, prefetch: int = 64):
+        import threading
+
+        self.sources = list(sources)
+        self.image_size = image_size
+        self._frames: dict = {}
+        self._cond = threading.Condition()
+        self._error = None
+        self.video_height = None
+        self.video_width = None
+        if self.sources:
+            first = self._load(0)
+            with self._cond:
+                self._frames[0] = first
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _load(self, idx: int) -> np.ndarray:
+        src = self.sources[idx]
+        if isinstance(src, np.ndarray):
+            rgb = src
+        else:
+            from PIL import Image
+
+            rgb = np.asarray(Image.open(src).convert("RGB"))
+        if self.video_height is None:
+            self.video_height, self.video_width = rgb.shape[:2]
+        return prepare_frame(rgb, self.image_size)
+
+    def _worker(self):
+        try:
+            for i in range(len(self.sources)):
+                if i in self._frames:
+                    continue
+                frame = self._load(i)
+                with self._cond:
+                    self._frames[i] = frame
+                    self._cond.notify_all()
+        except Exception as e:  # surfaced on next access
+            with self._cond:
+                self._error = e
+                self._cond.notify_all()
+
+    def __len__(self):
+        return len(self.sources)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        with self._cond:
+            while idx not in self._frames and self._error is None:
+                self._cond.wait(timeout=30)
+            if self._error is not None:
+                raise self._error
+            return self._frames[idx]
+
+    def to_list(self):
+        return [self[i] for i in range(len(self))]

@@ -138,3 +138,24 @@ def test_vos_inference_tool(predictor, tmp_path):
     assert outs == [f"{i:05d}.png" for i in range(4)]
     arr = np.asarray(Image.open(out_dir / "00000.png"))
     assert set(np.unique(arr)) <= {0, 1}
+
+
+def test_async_frame_loader(tmp_path):
+    from PIL import Image
+
+    from det_sam2_tpu.utils.misc import AsyncFrameLoader, prepare_frame
+
+    frames = _frames(5)
+    paths = []
+    for i, f in enumerate(frames):
+        p = tmp_path / f"{i:03d}.png"
+        Image.fromarray(f).save(p)
+        paths.append(str(p))
+    loader = AsyncFrameLoader(paths, image_size=64)
+    assert len(loader) == 5
+    assert loader[4].shape == (64, 64, 3)
+    assert loader.video_height == H and loader.video_width == W
+    np.testing.assert_array_equal(loader[2], prepare_frame(frames[2], 64))
+    # ndarray sources too
+    loader2 = AsyncFrameLoader(frames, image_size=32)
+    assert loader2[0].dtype == np.uint8
