@@ -180,6 +180,71 @@ class Trainer:
         probs = probs / probs.sum()
         return str(rng.choice(kinds, p=probs))
 
+    @property
+    def _val_step(self):
+        if not hasattr(self, "_val_step_fn"):
+            import jax as _jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from det_sam2_tpu.modeling.layers import sdpa
+            from det_sam2_tpu.modeling.sam2_base import SAM2Model
+            from det_sam2_tpu.training.loss_fns import (
+                DEFAULT_WEIGHTS,
+                MultiStepMultiMasksAndIous,
+            )
+            from det_sam2_tpu.training.sam2_train import forward_training
+
+            model = SAM2Model(cfg=self.cfg, attention_fn=sdpa,
+                              dtype=self.engine.dtype)
+            loss_fn = MultiStepMultiMasksAndIous(
+                DEFAULT_WEIGHTS, supervise_all_iou=True, iou_use_l1_loss=True,
+                pred_obj_scores=self.cfg.pred_obj_scores,
+            )
+
+            def step(params, images, gt):
+                outs = model.apply(
+                    {"params": params}, self.cfg, images, gt,
+                    method=lambda m, c, i, g: forward_training(
+                        m, c, i, g, prompt_kind="mask"
+                    ),
+                )
+                losses = loss_fn(outs, gt.astype(jnp.float32))
+                # mean IoU of final predictions vs GT (J metric proxy)
+                inter = 0.0
+                union = 0.0
+                for t, o in enumerate(outs):
+                    pred = o["pred_masks_high_res"][:, 0] > 0
+                    g = gt[t] > 0
+                    inter = inter + jnp.sum(pred & g)
+                    union = union + jnp.sum(pred | g)
+                losses["val_iou"] = inter / jnp.maximum(union, 1)
+                return losses
+
+            repl = NamedSharding(self.mesh, P())
+            batch_sh = NamedSharding(self.mesh, P(None, "data"))
+            self._val_step_fn = _jax.jit(
+                step,
+                in_shardings=(repl, batch_sh, batch_sh),
+                out_shardings=repl,
+            )
+        return self._val_step_fn
+
+    def validate(self, data_loader, num_batches: int = 10) -> dict:
+        """Validation pass (reference val_epoch, trainer.py:583-...):
+        mask-prompted tracking loss + mean IoU, no gradients."""
+        loss_meter = AverageMeter("val_loss")
+        iou_meter = AverageMeter("val_iou")
+        for images, gt in data_loader.batches(num_batches):
+            images, gt = shard_batch(
+                self.mesh, (jnp.asarray(images), jnp.asarray(gt)), axis=1
+            )
+            losses = self._val_step(self.params, images, gt)
+            loss_meter.update(float(losses[CORE_LOSS_KEY]))
+            iou_meter.update(float(losses["val_iou"]))
+        out = {"val_loss": loss_meter.avg, "val_iou": iou_meter.avg}
+        self._log_scalars({"step": self.global_step, **out})
+        return out
+
     def run(self, data_loader) -> None:
         """data_loader: object with .batches(n) -> iterator of
         (images [T,B,S,S,3], gt [T,B,S,S]) numpy pairs."""

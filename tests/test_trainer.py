@@ -96,3 +96,21 @@ def test_trainer_epoch_and_checkpoint_roundtrip(tmp_path):
     a = jax.tree_util.tree_leaves(trainer.params)[0]
     b = jax.tree_util.tree_leaves(trainer2.params)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_trainer_validate():
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    trainer = Trainer(
+        cfg, engine, OptimConf(base_lr=1e-4, total_steps=4),
+        TrainerConf(prompt_kind_probs={"box": 1.0}),
+    )
+    ds = SyntheticRawDataset(num_videos=2, num_frames=3)
+    loader = VOSDataLoader(
+        ds, RandomUniformSampler(num_frames=2), image_size=cfg.image_size,
+        batch_size=8,
+    )
+    out = trainer.validate(loader, num_batches=1)
+    assert np.isfinite(out["val_loss"])
+    assert 0.0 <= out["val_iou"] <= 1.0
