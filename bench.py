@@ -1,12 +1,11 @@
 """Benchmark: streaming video-predictor throughput on one chip.
 
 Measures the fused per-frame step (image encode + memory attention + SAM
-heads + memory encode + bank write) for hiera-S at 1024^2 with 2 tracked
-objects — the hot loop of the Det-SAM2 pipeline (SURVEY.md section 3.1).
-
-Baseline: the reference reports 24 FPS for the 768^2 model with 2 objects on
-a single A100-class GPU (sam2/sam2_video_predictor.py:71-72). We run the
-*larger* 1024^2 configuration and still report vs that number.
+heads + memory encode + bank write) for hiera-S at 768^2 with 2 tracked
+objects — the hot loop of the Det-SAM2 pipeline (SURVEY.md section 3.1) at
+the exact conditions of the baseline: the reference reports 24 FPS for the
+768^2 model with 2 objects on a single A100-class GPU
+(sam2/sam2_video_predictor.py:71-72).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -21,7 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from det_sam2_tpu.configs import sam2_1_hiera_s
+from det_sam2_tpu.configs import sam2_1_hiera_s, with_image_size
 from det_sam2_tpu.state import init_bank
 from det_sam2_tpu.track import SAM2Engine
 
@@ -32,7 +31,7 @@ ITERS = 20
 
 
 def main():
-    cfg = sam2_1_hiera_s()
+    cfg = with_image_size(sam2_1_hiera_s(), 768)
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
     bank = init_bank(cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16)
 
@@ -44,7 +43,7 @@ def main():
     # prompt frame 0 with two boxes so the memory bank is non-empty
     feats = engine.encode_image(img)
     boxes = jnp.asarray(
-        [[[100.0, 120.0], [400.0, 500.0]], [[500.0, 200.0], [800.0, 700.0]]],
+        [[[100.0, 120.0], [300.0, 400.0]], [[400.0, 200.0], [700.0, 600.0]]],
         jnp.float32,
     )
     labels = jnp.asarray([[2, 3], [2, 3]], jnp.int32)
@@ -74,7 +73,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "stream_fps_hiera_s_1024_2obj",
+                "metric": "stream_fps_hiera_s_768_2obj",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),

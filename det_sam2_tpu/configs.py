@@ -254,6 +254,20 @@ MODEL_CONFIGS = {
 }
 
 
+def with_image_size(cfg: SAM2Config, size: int) -> SAM2Config:
+    """Derive a config at another input resolution (e.g. the reference's
+    768^2 speed setting, sam2_video_predictor.py:71-72): the RoPE grid
+    tracks image_size / backbone_stride."""
+    s = size // cfg.backbone_stride
+    return dataclasses.replace(
+        cfg,
+        image_size=size,
+        memory_attention=dataclasses.replace(
+            cfg.memory_attention, rope_feat_sizes=(s, s)
+        ),
+    )
+
+
 def tiny_test_config(**kw) -> SAM2Config:
     """A miniature config for fast unit tests (not a reference size)."""
     h = HieraConfig(

@@ -200,8 +200,15 @@ def flash_attention(
     if bias is not None:
         bf = jnp.broadcast_to(bias[:, 0, 0, :][:, None, :], (b, h, nk))
         bf = bf.reshape(b * h, nk)
-    block_q_eff = min(block_q, max(128, nq))
-    block_k_eff = min(block_k, max(128, nk))
+    def _pick_block(n, cap):
+        # prefer a block that divides n exactly (no padding waste)
+        for b in (1024, 768, 512, 384, 256, 128):
+            if b <= cap and n % b == 0:
+                return b
+        return min(cap, max(128, n))
+
+    block_q_eff = _pick_block(nq, block_q)
+    block_k_eff = _pick_block(nk, block_k)
     out = _flash_call(
         qf, kf, vf, bf,
         block_q=block_q_eff, block_k=block_k_eff,
