@@ -244,3 +244,31 @@ class VOSDataLoader:
             imgs = np.stack([r[0] for r in rows], axis=1)  # [T, B, S, S, 3]
             masks = np.stack([r[1] for r in rows], axis=1)  # [T, B, S, S]
             yield imgs, masks
+
+
+class MixedDataLoader:
+    """Sample batches from multiple datasets with per-dataset weights
+    (reference TorchTrainMixedDataset / MixedDataLoader,
+    training/dataset/sam2_datasets.py:18-113 — chunked multi-dataset epochs
+    become weighted sampling over per-dataset loaders)."""
+
+    def __init__(self, loaders, weights=None, seed: int = 0):
+        self.loaders = list(loaders)
+        if weights is None:
+            weights = [1.0] * len(self.loaders)
+        w = np.asarray(weights, np.float64)
+        self.probs = w / w.sum()
+        self.seed = seed
+
+    def batches(self, num_batches: int):
+        rng = np.random.default_rng(self.seed)
+        iters = [None] * len(self.loaders)
+        for _ in range(num_batches):
+            i = int(rng.choice(len(self.loaders), p=self.probs))
+            if iters[i] is None:
+                iters[i] = self.loaders[i].batches(num_batches)
+            try:
+                yield next(iters[i])
+            except StopIteration:
+                iters[i] = self.loaders[i].batches(num_batches)
+                yield next(iters[i])

@@ -114,3 +114,19 @@ def test_trainer_validate():
     out = trainer.validate(loader, num_batches=1)
     assert np.isfinite(out["val_loss"])
     assert 0.0 <= out["val_iou"] <= 1.0
+
+
+def test_mixed_dataloader():
+    from det_sam2_tpu.training.dataset import MixedDataLoader
+
+    ds1 = SyntheticRawDataset(num_videos=2, num_frames=4, seed=0)
+    ds2 = SyntheticRawDataset(num_videos=2, num_frames=4, seed=9)
+    l1 = VOSDataLoader(ds1, RandomUniformSampler(num_frames=2),
+                       image_size=32, batch_size=1)
+    l2 = VOSDataLoader(ds2, RandomUniformSampler(num_frames=2),
+                       image_size=32, batch_size=1)
+    mixed = MixedDataLoader([l1, l2], weights=[0.5, 0.5])
+    batches = list(mixed.batches(4))
+    assert len(batches) == 4
+    for imgs, masks in batches:
+        assert imgs.shape == (2, 1, 32, 32, 3)
