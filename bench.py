@@ -1,11 +1,14 @@
 """Benchmark: streaming video-predictor throughput on one chip.
 
-Measures the fused per-frame step (image encode + memory attention + SAM
-heads + memory encode + bank write) for hiera-S at 768^2 with 2 tracked
-objects — the hot loop of the Det-SAM2 pipeline (SURVEY.md section 3.1) at
-the exact conditions of the baseline: the reference reports 24 FPS for the
-768^2 model with 2 objects on a single A100-class GPU
-(sam2/sam2_video_predictor.py:71-72).
+Measures the production propagation path — a whole tracking window run as
+one jitted lax.scan (engine.propagate_window: per frame image encode +
+memory attention + SAM heads + memory encode + bank write) — for hiera-S at
+768^2 with 2 tracked objects, the exact conditions of the baseline: the
+reference reports 24 FPS for the 768^2 model with 2 objects on a single
+A100-class GPU (sam2/sam2_video_predictor.py:71-72).
+
+Sync note: timings are forced with a scalar readback (block_until_ready does
+not reliably synchronize over remote device tunnels).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -16,7 +19,6 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -26,8 +28,8 @@ from det_sam2_tpu.track import SAM2Engine
 
 BASELINE_FPS = 24.0  # reference: 768^2 model, 2 objects, offload off
 NUM_OBJECTS = 2
-WARMUP = 3
-ITERS = 20
+WINDOW = 60  # the app's max_frame_num_to_track default (det_sam2_RT.py:41)
+REPEATS = 4
 
 
 def main():
@@ -36,9 +38,8 @@ def main():
     bank = init_bank(cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    img = jnp.asarray(
-        rng.standard_normal((1, cfg.image_size, cfg.image_size, 3)), jnp.float32
-    )
+    size = cfg.image_size
+    img = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
 
     # prompt frame 0 with two boxes so the memory bank is non-empty
     feats = engine.encode_image(img)
@@ -53,27 +54,32 @@ def main():
         out["obj_ptr"], is_mask_from_pts=True,
     )
 
-    # warmup / compile; the final jnp.sum forces the whole dispatch chain
-    # (block_until_ready alone does not reliably synchronize over remote
-    # device tunnels)
-    t = 1
-    for _ in range(WARMUP):
-        bank, out = engine.stream_step(img, bank, t, 10_000)
-        t += 1
-    float(jnp.sum(out["pred_masks"]))
+    frames = jnp.asarray(
+        (rng.standard_normal((WINDOW, size, size, 3)) * 40 + 80).clip(0, 255),
+        jnp.uint8,
+    )
+    frame_indices = np.arange(1, WINDOW + 1, dtype=np.int32)
+    skips = np.zeros(WINDOW, bool)
+
+    # warmup/compile + forced sync
+    bank, outs = engine.propagate_window(
+        frames, bank, frame_indices, skips, 10_000
+    )
+    float(jnp.sum(outs[0]))
 
     t0 = time.perf_counter()
-    for _ in range(ITERS):
-        bank, out = engine.stream_step(img, bank, t, 10_000)
-        t += 1
-    float(jnp.sum(out["pred_masks"]))
+    for r in range(REPEATS):
+        bank, outs = engine.propagate_window(
+            frames, bank, frame_indices + (r + 1) * WINDOW, skips, 10_000
+        )
+    float(jnp.sum(outs[0]))
     dt = time.perf_counter() - t0
 
-    fps = ITERS / dt
+    fps = REPEATS * WINDOW / dt
     print(
         json.dumps(
             {
-                "metric": "stream_fps_hiera_s_768_2obj",
+                "metric": "propagate_fps_hiera_s_768_2obj",
                 "value": round(fps, 2),
                 "unit": "frames/sec/chip",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
