@@ -1,0 +1,85 @@
+"""Upload normalization for the serving layer.
+
+Behavioral equivalent of /root/reference/demo/backend/server/data/
+transcoder.py (186 LoC, ffmpeg shell-outs): probe an uploaded video, cap
+duration/resolution, and re-encode to a normalized mp4. Implemented with
+cv2 (ffmpeg is not a dependency here); falls back to the `ffmpeg` binary
+when present.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+from typing import Optional
+
+
+def get_video_metadata(path: str) -> dict:
+    import cv2
+
+    cap = cv2.VideoCapture(path)
+    if not cap.isOpened():
+        raise RuntimeError(f"cannot open video {path}")
+    meta = {
+        "fps": cap.get(cv2.CAP_PROP_FPS) or 30.0,
+        "width": int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+        "height": int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+        "num_frames": int(cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+    }
+    meta["duration_sec"] = meta["num_frames"] / max(meta["fps"], 1e-6)
+    cap.release()
+    return meta
+
+
+def transcode(
+    in_path: str,
+    out_path: str,
+    max_seconds: float = 10.0,
+    max_dim: int = 1280,
+    fps: Optional[float] = 24.0,
+) -> dict:
+    """Re-encode to mp4 with duration/resolution caps (the demo's upload
+    guardrails). Returns the output metadata."""
+    meta = get_video_metadata(in_path)
+    scale = min(1.0, max_dim / max(meta["width"], meta["height"]))
+    out_w = int(meta["width"] * scale) // 2 * 2
+    out_h = int(meta["height"] * scale) // 2 * 2
+    out_fps = fps or meta["fps"]
+    max_frames = int(max_seconds * out_fps)
+
+    if shutil.which("ffmpeg"):  # pragma: no cover (not in this image)
+        cmd = [
+            "ffmpeg", "-y", "-t", str(max_seconds), "-i", in_path,
+            "-vf", f"scale={out_w}:{out_h},fps={out_fps}",
+            "-an", out_path,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return get_video_metadata(out_path)
+
+    import cv2
+
+    cap = cv2.VideoCapture(in_path)
+    writer = cv2.VideoWriter(
+        out_path, cv2.VideoWriter_fourcc(*"mp4v"), out_fps, (out_w, out_h)
+    )
+    step = max(meta["fps"] / out_fps, 1e-6)
+    written = 0
+    src_idx = 0
+    next_keep = 0.0
+    while written < max_frames:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if src_idx >= next_keep:
+            if (frame.shape[1], frame.shape[0]) != (out_w, out_h):
+                frame = cv2.resize(frame, (out_w, out_h))
+            writer.write(frame)
+            written += 1
+            next_keep += step
+        src_idx += 1
+    cap.release()
+    writer.release()
+    if written == 0:
+        raise RuntimeError(f"no frames transcoded from {in_path}")
+    return get_video_metadata(out_path)

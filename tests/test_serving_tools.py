@@ -159,3 +159,32 @@ def test_async_frame_loader(tmp_path):
     # ndarray sources too
     loader2 = AsyncFrameLoader(frames, image_size=32)
     assert loader2[0].dtype == np.uint8
+
+
+def test_transcode_and_extract(tmp_path):
+    import cv2
+
+    from det_sam2_tpu.serving.transcode import get_video_metadata, transcode
+    from det_sam2_tpu.tools.extract_frames import extract_frames
+
+    src = str(tmp_path / "in.mp4")
+    writer = cv2.VideoWriter(
+        src, cv2.VideoWriter_fourcc(*"mp4v"), 30.0, (320, 240)
+    )
+    for f in _frames(30):
+        writer.write(cv2.cvtColor(
+            cv2.resize(f, (320, 240)), cv2.COLOR_RGB2BGR
+        ))
+    writer.release()
+
+    meta = get_video_metadata(src)
+    assert meta["width"] == 320 and meta["num_frames"] == 30
+
+    out = str(tmp_path / "out.mp4")
+    meta2 = transcode(src, out, max_seconds=0.5, max_dim=160, fps=10.0)
+    assert meta2["width"] <= 160 and meta2["num_frames"] <= 6
+
+    frames_dir = str(tmp_path / "frames")
+    n = extract_frames(src, frames_dir, fps=10.0)
+    assert n == 10
+    assert len(os.listdir(frames_dir)) == 10
