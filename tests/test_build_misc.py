@@ -93,3 +93,37 @@ def test_process_dataset_tool(tmp_path):
     process_dataset(predictor, str(img_dir), str(lbl_dir), str(out_dir))
     refined = (out_dir / "a.txt").read_text().strip().split()
     assert refined[0] == "5" and len(refined) == 5
+
+
+@pytest.mark.slow
+def test_torch_checkpoint_file_roundtrip(tmp_path):
+    """Save a reference-format .pt checkpoint and load it through
+    build.py (the deployment path for real SAM2.1 weights)."""
+    import torch
+
+    import jax.numpy as jnp
+    from torch_ref import build_reference_sam2, reference_available
+
+    if not reference_available():
+        pytest.skip("reference repo not mounted")
+    cfg = tiny_test_config()
+    ref = build_reference_sam2(cfg)
+    path = tmp_path / "ckpt.pt"
+    torch.save({"model": ref.state_dict()}, path)
+
+    from det_sam2_tpu.build import build_sam2_video_predictor
+
+    predictor = build_sam2_video_predictor(
+        cfg, checkpoint=str(path), dtype=jnp.float32
+    )
+    # converted params drive a real prompt+track flow
+    frames = [np.full((64, 64, 3), 30, np.uint8) for _ in range(2)]
+    for f in frames:
+        f[20:50, 20:50] = (200, 40, 40)
+    session = predictor.init_state(frames)
+    _, _, masks = predictor.add_new_points_or_box(
+        session, 0, 1, box=np.asarray([20.0, 20.0, 50.0, 50.0])
+    )
+    assert np.isfinite(masks).all()
+    outs = list(predictor.propagate_in_video(session))
+    assert len(outs) == 2
