@@ -172,6 +172,10 @@ class SAM2Config:
     # postprocessing
     fill_hole_area: int = 8
 
+    # training: rematerialize image-encoder activations (trade FLOPs for
+    # memory over the T*B frame batch; jax.checkpoint)
+    remat_image_encoder: bool = False
+
     # --- TPU-native static-shape knobs (no reference equivalent) ---
     # capacities of the ring-buffer memory bank; see det_sam2_tpu/state.py
     cond_bank_size: int = 8

@@ -40,7 +40,12 @@ class SAM2Model(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.image_encoder = ImageEncoder(
+        encoder_cls = (
+            nn.remat(ImageEncoder, static_argnums=())
+            if c.remat_image_encoder
+            else ImageEncoder
+        )
+        self.image_encoder = encoder_cls(
             hiera_cfg=c.hiera,
             neck_cfg=c.neck,
             scalp=c.scalp,

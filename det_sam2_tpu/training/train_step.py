@@ -88,9 +88,15 @@ def make_train_step(
     Gradients flow through XLA attention (the Pallas inference kernels have
     no VJP), so the model is rebuilt here with the sdpa attention_fn —
     parameter structure is unchanged."""
+    import dataclasses as _dc
+
     from det_sam2_tpu.modeling.layers import sdpa
 
-    model = SAM2Model(cfg=cfg, attention_fn=sdpa, dtype=model.dtype)
+    model = SAM2Model(
+        cfg=_dc.replace(cfg, remat_image_encoder=True),
+        attention_fn=sdpa,
+        dtype=model.dtype,
+    )
     if loss_fn is None:
         loss_fn = MultiStepMultiMasksAndIous(
             DEFAULT_WEIGHTS,
