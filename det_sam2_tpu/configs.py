@@ -172,6 +172,10 @@ class SAM2Config:
     # postprocessing
     fill_hole_area: int = 8
 
+    # perf: tanh GELU in the image encoder (~17% faster hiera-L encoder;
+    # not bit-parity with the torch reference)
+    use_approx_gelu: bool = False
+
     # training: rematerialize image-encoder activations (trade FLOPs for
     # memory over the T*B frame batch; jax.checkpoint)
     remat_image_encoder: bool = False

@@ -124,6 +124,7 @@ class MultiScaleBlock(nn.Module):
     q_stride: Optional[Tuple[int, int]] = None
     mlp_ratio: float = 4.0
     attention_fn: Callable = sdpa
+    gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -165,7 +166,7 @@ class MultiScaleBlock(nn.Module):
             hidden_dim=int(self.dim_out * self.mlp_ratio),
             output_dim=self.dim_out,
             num_layers=2,
-            activation=exact_gelu,
+            activation=self.gelu,
             dtype=self.dtype,
             name="mlp",
         )(y)
@@ -178,6 +179,7 @@ class Hiera(nn.Module):
 
     cfg: HieraConfig
     attention_fn: Callable = sdpa
+    gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -239,6 +241,7 @@ class Hiera(nn.Module):
                 q_stride=c.q_stride if i in q_pool_blocks else None,
                 mlp_ratio=c.mlp_ratio,
                 attention_fn=self.attention_fn,
+                gelu=self.gelu,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x)

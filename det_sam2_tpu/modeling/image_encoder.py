@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from det_sam2_tpu.configs import FpnNeckConfig, HieraConfig
 from det_sam2_tpu.modeling.hiera import Hiera
-from det_sam2_tpu.modeling.layers import sdpa
+from det_sam2_tpu.modeling.layers import exact_gelu, sdpa
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.utils.resize import upsample2x_nearest_nhwc
 
@@ -74,6 +74,7 @@ class ImageEncoder(nn.Module):
     neck_cfg: FpnNeckConfig
     scalp: int = 1
     attention_fn: Callable = sdpa
+    gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -84,6 +85,7 @@ class ImageEncoder(nn.Module):
         feats = Hiera(
             cfg=self.hiera_cfg,
             attention_fn=self.attention_fn,
+            gelu=self.gelu,
             dtype=self.dtype,
             name="trunk",
         )(sample)

@@ -21,6 +21,13 @@ def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:
     return nn.gelu(x, approximate=False)
 
 
+def approx_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """tanh GELU: ~17%% faster hiera-L encoder on TPU (fewer VPU
+    transcendentals); opt-in via SAM2Config.use_approx_gelu — NOT bit-parity
+    with the torch reference (max |diff| ~1e-3 per activation)."""
+    return nn.gelu(x, approximate=True)
+
+
 ACTIVATIONS: dict = {
     "relu": nn.relu,
     "gelu": exact_gelu,

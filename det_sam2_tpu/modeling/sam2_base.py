@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.image_encoder import ImageEncoder
-from det_sam2_tpu.modeling.layers import MLP, sdpa
+from det_sam2_tpu.modeling.layers import MLP, approx_gelu, exact_gelu, sdpa
 from det_sam2_tpu.modeling.mask_decoder import MaskDecoder
 from det_sam2_tpu.modeling.memory_attention import MemoryAttention
 from det_sam2_tpu.modeling.memory_encoder import MemoryEncoder
@@ -45,11 +45,13 @@ class SAM2Model(nn.Module):
             if c.remat_image_encoder
             else ImageEncoder
         )
+        gelu = approx_gelu if c.use_approx_gelu else exact_gelu
         self.image_encoder = encoder_cls(
             hiera_cfg=c.hiera,
             neck_cfg=c.neck,
             scalp=c.scalp,
             attention_fn=self.attention_fn,
+            gelu=gelu,
             dtype=self.dtype,
         )
         self.memory_attention = MemoryAttention(
