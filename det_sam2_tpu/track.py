@@ -540,17 +540,13 @@ class SAM2Engine:
 
         def body(m: SAM2Model, images, bank: MemoryBank, frame_indices,
                  skips, num_frames, obj_valid):
-            # Phase 1: batch-encode ALL window frames at once — the encoder
-            # has no temporal dependency, and batching T frames drives the
-            # MXU far harder than the reference's frame-at-a-time loop
-            # (_get_image_feature, sam2_video_predictor.py:1174-1212).
-            all_s0, all_s1, all_feat = m.forward_image(normalize_image(images))
-
-            def run_step(bank, feats, frame_idx):
+            # note: batch-encoding all T frames upfront was measured SLOWER
+            # (hiera-S 768: 16.5 vs 12.8 ms/frame) — the B=T activations
+            # blow past on-chip reuse; per-step encoding pipelines better.
+            def run_step(bank, img, frame_idx):
+                feats = m.forward_image(normalize_image(img)[None])
                 o = bank.num_objects
-                s0, s1, feat = _broadcast_feats(
-                    tuple(f[None] for f in feats), o
-                )
+                s0, s1, feat = _broadcast_feats(feats, o)
                 pix = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse,
                     is_init=False,
@@ -578,7 +574,7 @@ class SAM2Engine:
                     obj_logits.astype(jnp.float32),
                 )
 
-            def skip_step(bank, feats, frame_idx):
+            def skip_step(bank, img, frame_idx):
                 o = bank.num_objects
                 return bank, (
                     jnp.zeros((o, 1, s4, s4), jnp.float32),
@@ -587,13 +583,12 @@ class SAM2Engine:
                 )
 
             def step(bank, xs):
-                feats, frame_idx, skip = xs
-                return jax.lax.cond(skip, skip_step, run_step, bank, feats,
+                img, frame_idx, skip = xs
+                return jax.lax.cond(skip, skip_step, run_step, bank, img,
                                     frame_idx)
 
             return jax.lax.scan(
-                step, bank,
-                ((all_s0, all_s1, all_feat), frame_indices, skips),
+                step, bank, (images, frame_indices, skips)
             )
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
