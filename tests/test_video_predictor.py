@@ -210,3 +210,49 @@ def test_online_new_object_addition(predictors):
                 assert _iou(a, b) > 0.98, (
                     f"frame {fidx} obj {obj}: IoU {_iou(a, b)}"
                 )
+
+
+@pytest.mark.slow
+def test_two_objects_same_frame_parity(predictors):
+    """Two objects prompted on the same frame -> consolidation across the
+    object batch must match the reference."""
+    ref, mine = predictors
+    frames = _make_frames(5, seed=7)
+    # add a second moving square so object 2 has signal
+    for t, f in enumerate(frames):
+        x = 60 + 4 * t
+        f[60:85, x : x + 22] = (40, 220, 60)
+
+    b1 = np.array([8.0, 18.0, 44.0, 52.0])
+    b2 = np.array([58.0, 58.0, 84.0, 87.0])
+    with torch.no_grad():
+        rstate = ref.init_state(
+            frames, offload_video_to_cpu=False, offload_state_to_cpu=False
+        )
+        ref.add_new_points_or_box(rstate, 0, 1, box=b1)
+        ref.add_new_points_or_box(rstate, 0, 2, box=b2)
+        ref_out = {}
+        for fidx, _, masks in ref.propagate_in_video(
+            rstate, start_frame_idx=0, max_frame_num_to_track=4
+        ):
+            ref_out[fidx] = masks.cpu().numpy()
+
+    session = mine.init_state(frames)
+    mine.add_new_points_or_box(session, 0, 1, box=b1)
+    mine.add_new_points_or_box(session, 0, 2, box=b2)
+    my_out = {}
+    for fidx, _, masks in mine.propagate_in_video(
+        session, start_frame_idx=0, max_frame_num_to_track=4
+    ):
+        my_out[fidx] = masks[:2]
+
+    assert set(my_out) == set(ref_out)
+    for fidx in ref_out:
+        for obj in range(2):
+            a = my_out[fidx][obj, 0] > 0
+            b = ref_out[fidx][obj, 0] > 0
+            union = np.logical_or(a, b).sum()
+            if union > 20:
+                assert _iou(a, b) > 0.99, (
+                    f"frame {fidx} obj {obj}: IoU {_iou(a, b)}"
+                )
