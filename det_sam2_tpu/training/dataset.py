@@ -212,25 +212,37 @@ class VOSDataLoader:
         if rng.random() < self.color_jitter_prob:
             clip = color_jitter_clip(clip, rng)
         clip = resize_clip(clip, self.image_size)
-        # choose one object present in the first frame (fallback: any)
-        obj_ids = list(clip.masks[0].keys()) or [
-            k for per in clip.masks for k in per.keys()
-        ]
+        # choose up to max_num_objects present in the first frame
+        # (vos_sampler.py:31-78; missing objects pad with empty masks)
+        k = max(self.sampler.max_num_objects, 1)
+        obj_ids = sorted(clip.masks[0].keys()) or sorted(
+            {o for per in clip.masks for o in per.keys()}
+        )
         if not obj_ids:
             return None
-        obj_id = rng.choice(sorted(set(obj_ids)))
+        chosen = rng.sample(obj_ids, k=min(k, len(obj_ids)))
         imgs = np.stack(
             [
                 ((f.astype(np.float32) / 255.0) - IMG_MEAN) / IMG_STD
                 for f in clip.frames
             ]
         )
+        hw = imgs.shape[1:3]
         masks = np.stack(
             [
-                per.get(obj_id, np.zeros(imgs.shape[1:3], bool))
+                np.stack(
+                    [
+                        per.get(chosen[j], np.zeros(hw, bool))
+                        if j < len(chosen)
+                        else np.zeros(hw, bool)
+                        for j in range(k)
+                    ]
+                )
                 for per in clip.masks
             ]
-        ).astype(np.float32)
+        ).astype(np.float32)  # [T, K, H, W]
+        if k == 1:
+            masks = masks[:, 0]
         return imgs, masks
 
     def batches(self, num_batches: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

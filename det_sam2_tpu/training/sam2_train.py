@@ -138,16 +138,29 @@ def forward_training(
     the init cond frames (the reference additionally samples random
     mid-sequence frames to correct)."""
     sample_box_points, sample_random_points_from_errors = _lazy_samplers()
-    t_total, b = images.shape[0], images.shape[1]
-    flat = images.reshape(t_total * b, *images.shape[2:])
+    t_total, b_videos = images.shape[0], images.shape[1]
+    # multi-object clips: gt [T, B, K, H, W] -> K object tracks per video
+    # share ONE image encode (the reference's flat_obj_to_img_idx indexing,
+    # training/utils/data_utils.py:72-113)
+    if gt_masks.ndim == 5:
+        k_objs = gt_masks.shape[2]
+        gt_masks = gt_masks.reshape(
+            t_total, b_videos * k_objs, *gt_masks.shape[3:]
+        )
+    else:
+        k_objs = 1
+    b = b_videos * k_objs
+    flat = images.reshape(t_total * b_videos, *images.shape[2:])
     s0, s1, feat = model.forward_image(flat)
 
+    def _tile(x, t):
+        rows = x[t * b_videos : (t + 1) * b_videos]
+        if k_objs == 1:
+            return rows
+        return jnp.repeat(rows, k_objs, axis=0)
+
     def frame_feats(t):
-        return (
-            s0[t * b : (t + 1) * b],
-            s1[t * b : (t + 1) * b],
-            feat[t * b : (t + 1) * b],
-        )
+        return (_tile(s0, t), _tile(s1, t), _tile(feat, t))
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -118,7 +118,11 @@ def make_train_step(
                 num_correction_steps=num_correction_steps,
             ),
         )
-        losses = loss_fn(outs, gt_masks.astype(jnp.float32))
+        gt_rows = gt_masks
+        if gt_rows.ndim == 5:  # [T, B, K, H, W] -> [T, B*K, H, W]
+            t_, b_, k_ = gt_rows.shape[:3]
+            gt_rows = gt_rows.reshape(t_, b_ * k_, *gt_rows.shape[3:])
+        losses = loss_fn(outs, gt_rows.astype(jnp.float32))
         return losses[CORE_LOSS_KEY], losses
 
     def step(params, opt_state, images, gt_masks, rng):

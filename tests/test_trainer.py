@@ -130,3 +130,47 @@ def test_mixed_dataloader():
     assert len(batches) == 4
     for imgs, masks in batches:
         assert imgs.shape == (2, 1, 32, 32, 3)
+
+
+class _TwoObjDataset(SyntheticRawDataset):
+    """Synthetic videos with two moving squares."""
+
+    def load_frames(self, video, names):
+        clip = super().load_frames(video, names)
+        h, w = self.hw
+        for t, (f, per) in enumerate(zip(clip.frames, clip.masks)):
+            y = 10 + 2 * t
+            f[y : y + 12, 5:17] = (40, 200, 60)
+            m = np.zeros((h, w), bool)
+            m[y : y + 12, 5:17] = True
+            per[2] = m
+        return clip
+
+
+@pytest.mark.slow
+def test_multi_object_training_step():
+    from det_sam2_tpu.parallel.mesh import make_mesh, shard_batch
+    from det_sam2_tpu.training.loss_fns import CORE_LOSS_KEY
+    from det_sam2_tpu.training.train_step import make_optimizer, make_train_step
+
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    mesh = make_mesh()
+    opt = make_optimizer(OptimConf(base_lr=1e-4, total_steps=4))
+    step = make_train_step(cfg, engine.model, opt, mesh=mesh,
+                           prompt_kind="box")
+
+    ds = _TwoObjDataset(num_videos=4, num_frames=3)
+    loader = VOSDataLoader(
+        ds, RandomUniformSampler(num_frames=2, max_num_objects=2),
+        image_size=cfg.image_size, batch_size=8,
+    )
+    images, gt = next(iter(loader.batches(1)))
+    assert gt.shape == (2, 8, 2, cfg.image_size, cfg.image_size)
+    images, gt = shard_batch(
+        mesh, (jnp.asarray(images), jnp.asarray(gt)), axis=1
+    )
+    opt_state = opt.init(engine.params)
+    _, _, metrics = step(engine.params, opt_state, images, gt,
+                         jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
