@@ -208,13 +208,19 @@ class Trainer:
                         m, c, i, g, prompt_kind="mask"
                     ),
                 )
-                losses = loss_fn(outs, gt.astype(jnp.float32))
+                gt_rows = gt
+                if gt_rows.ndim == 5:  # [T,B,K,H,W] -> [T,B*K,H,W]
+                    t_, b_, k_ = gt_rows.shape[:3]
+                    gt_rows = gt_rows.reshape(
+                        t_, b_ * k_, *gt_rows.shape[3:]
+                    )
+                losses = loss_fn(outs, gt_rows.astype(jnp.float32))
                 # mean IoU of final predictions vs GT (J metric proxy)
                 inter = 0.0
                 union = 0.0
                 for t, o in enumerate(outs):
                     pred = o["pred_masks_high_res"][:, 0] > 0
-                    g = gt[t] > 0
+                    g = gt_rows[t] > 0
                     inter = inter + jnp.sum(pred & g)
                     union = union + jnp.sum(pred | g)
                 losses["val_iou"] = inter / jnp.maximum(union, 1)
