@@ -256,3 +256,39 @@ def test_two_objects_same_frame_parity(predictors):
                 assert _iou(a, b) > 0.99, (
                     f"frame {fidx} obj {obj}: IoU {_iou(a, b)}"
                 )
+
+
+@pytest.mark.slow
+def test_mask_prompt_parity(predictors):
+    """add_new_mask (use_mask_input_as_output_without_sam path) parity."""
+    ref, mine = predictors
+    frames = _make_frames(4, seed=11)
+    gt = np.zeros((H_VID, W_VID), bool)
+    gt[20:50, 10:40] = True
+
+    with torch.no_grad():
+        rstate = ref.init_state(
+            frames, offload_video_to_cpu=False, offload_state_to_cpu=False
+        )
+        _, _, rmask = ref.add_new_mask(rstate, 0, 1, torch.from_numpy(gt))
+        ref_out = {}
+        for fidx, _, masks in ref.propagate_in_video(
+            rstate, start_frame_idx=0, max_frame_num_to_track=3
+        ):
+            ref_out[fidx] = masks.cpu().numpy()
+
+    session = mine.init_state(frames)
+    _, _, mmask = mine.add_new_mask(session, 0, 1, gt)
+    np.testing.assert_allclose(
+        mmask[:1], rmask.cpu().numpy(), rtol=1e-2, atol=5e-2
+    )
+    my_out = {}
+    for fidx, _, masks in mine.propagate_in_video(
+        session, start_frame_idx=0, max_frame_num_to_track=3
+    ):
+        my_out[fidx] = masks[:1]
+    for fidx in ref_out:
+        a = my_out[fidx][0, 0] > 0
+        b = ref_out[fidx][0, 0] > 0
+        if np.logical_or(a, b).sum() > 0:
+            assert _iou(a, b) > 0.99, f"frame {fidx}: IoU {_iou(a, b)}"
