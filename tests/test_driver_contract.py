@@ -1,0 +1,77 @@
+"""Driver contracts: bench.py imports; entry() constructs; engine glue."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.state import init_bank
+from det_sam2_tpu.track import SAM2Engine
+
+
+def test_bench_module_imports():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert callable(mod.main)
+    assert mod.BASELINE_FPS == 24.0
+
+
+@pytest.mark.slow
+def test_graft_entry_constructs():
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    assert callable(fn)
+    params, img, bank, frame_idx, num_frames = args
+    assert img.shape[-1] == 3
+    assert bank.num_objects == 2
+
+
+@pytest.mark.slow
+def test_stream_step_matches_encode_plus_track():
+    """The fused stream_step must equal encode_image followed by
+    track_step (same bank evolution, same outputs)."""
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    rng = np.random.default_rng(0)
+    s = cfg.image_size
+    frame_u8 = rng.integers(0, 255, (1, s, s, 3)).astype(np.uint8)
+    img = jnp.asarray(frame_u8)
+
+    def prompt(bank):
+        feats = engine.encode_image(img)
+        boxes = jnp.asarray([[[10.0, 10.0], [60.0, 70.0]]], jnp.float32)
+        labels = jnp.asarray([[2, 3]], jnp.int32)
+        out = engine.prompt_step(feats, bank, 0, 5, boxes, labels,
+                                 is_init=True)
+        return engine.encode_cond_memory(
+            feats, bank, 0, out["pred_masks"], out["object_score_logits"],
+            out["obj_ptr"],
+        )
+
+    bank_a = prompt(init_bank(cfg, num_objects=1))
+    bank_b = prompt(init_bank(cfg, num_objects=1))
+
+    bank_a, out_a = engine.stream_step(img, bank_a, 1, 5)
+    feats = engine.encode_image(img)
+    bank_b, out_b = engine.track_step(feats, bank_b, 1, 5)
+
+    np.testing.assert_allclose(
+        np.asarray(out_a["pred_masks"]), np.asarray(out_b["pred_masks"]),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bank_a.noncond_mem), np.asarray(bank_b.noncond_mem),
+        rtol=1e-5, atol=1e-5,
+    )
