@@ -190,6 +190,11 @@ class SAM2VideoPredictor:
         return feats
 
     def _ensure_bank(self, session: InferenceSession, num_objects: int) -> None:
+        if num_objects > self.cfg.max_objects:
+            raise ValueError(
+                f"object count {num_objects} exceeds SAM2Config.max_objects="
+                f"{self.cfg.max_objects}; raise the config cap"
+            )
         target = _bucket(max(num_objects, 1))
         dtype = self.engine.dtype
         if session.bank is None:

@@ -117,3 +117,22 @@ def test_special_class_collection(processor_factory):
     assert len(proc.special_classes_detection) == 2
     # pockets were not tracked as objects
     assert proc.session.obj_ids == [5]
+
+
+def test_max_objects_cap(processor_factory):
+    import pytest as _pytest
+
+    proc = processor_factory()
+    frames = _square_frames(4)
+    proc.session = proc.predictor.init_state(frames)
+    # tiny config caps at 2 objects
+    proc.predictor.add_new_points_or_box(
+        proc.session, 0, 1, box=np.asarray([8.0, 20.0, 32.0, 50.0])
+    )
+    proc.predictor.add_new_points_or_box(
+        proc.session, 0, 2, box=np.asarray([40.0, 20.0, 64.0, 50.0])
+    )
+    with _pytest.raises(ValueError, match="max_objects"):
+        proc.predictor.add_new_points_or_box(
+            proc.session, 0, 3, box=np.asarray([60.0, 20.0, 84.0, 50.0])
+        )
