@@ -188,3 +188,30 @@ def test_transcode_and_extract(tmp_path):
     n = extract_frames(src, frames_dir, fps=10.0)
     assert n == 10
     assert len(os.listdir(frames_dir)) == 10
+
+
+def test_sav_dataset_browsing(tmp_path):
+    from PIL import Image
+
+    from det_sam2_tpu.tools.sav_utils import SAVDataset
+    from det_sam2_tpu.tools.vos_inference import save_palettised_png
+
+    img_dir = tmp_path / "JPEGImages" / "vid0"
+    ann_dir = tmp_path / "Annotations" / "vid0"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for i, f in enumerate(_frames(3)):
+        Image.fromarray(f).save(img_dir / f"{i:05d}.jpg")
+        m = np.zeros((H, W), bool)
+        m[20:50, 8 + 3 * i : 32 + 3 * i] = True
+        save_palettised_png({1: m}, str(ann_dir / f"{i:05d}.png"))
+
+    ds = SAVDataset(str(tmp_path))
+    assert ds.videos == ["vid0"]
+    assert len(ds.frame_paths("vid0")) == 3
+    anns = ds.load_annotations("vid0")
+    assert set(anns.keys()) == {0, 1, 2}
+    assert 1 in anns[0]
+    overlay = ds.render_overlay("vid0", 1, out_path=str(tmp_path / "o.png"))
+    assert overlay.shape == (H, W, 3)
+    assert (tmp_path / "o.png").exists()
