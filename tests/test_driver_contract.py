@@ -39,6 +39,19 @@ def test_graft_entry_constructs():
 
 
 @pytest.mark.slow
+def test_dryrun_multichip():
+    """The driver's multi-chip check must pass self-contained, even when
+    the environment forces a real-TPU plugin (round-1 red check)."""
+    import sys
+    import os
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
+
+
+@pytest.mark.slow
 def test_stream_step_matches_encode_plus_track():
     """The fused stream_step must equal encode_image followed by
     track_step (same bank evolution, same outputs)."""
