@@ -181,9 +181,15 @@ class SAM2Config:
     remat_image_encoder: bool = False
 
     # --- TPU-native static-shape knobs (no reference equivalent) ---
-    # capacities of the ring-buffer memory bank; see det_sam2_tpu/state.py
-    cond_bank_size: int = 8
-    cond_attn_size: int = 4  # cond tiles attended per frame (static)
+    # Capacities of the ring-buffer memory bank; see det_sam2_tpu/state.py.
+    # cond_attn_size matches the reference's max_cond_frames_in_attn=20 so
+    # the attended cond set is exact at reference scale; the Pallas flash
+    # kernel skips fully-masked KV tiles, so empty cond slots cost ~no
+    # attention FLOPs. cond_bank_size bounds *retained* cond frames (the
+    # reference retains all; 32 covers VOS multi-prompt + preload banks —
+    # beyond that, temporally-furthest unpinned slots are evicted).
+    cond_bank_size: int = 32
+    cond_attn_size: int = 20  # cond tiles attended per frame (static)
     noncond_bank_size: int = 32
     max_objects: int = 8
 

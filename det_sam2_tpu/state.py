@@ -109,14 +109,22 @@ def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
 
 
 def _choose_write_slot(frame_idx_vec, pinned, frame_idx):
-    """match > first empty > oldest unpinned."""
+    """match > first empty > temporally-furthest unpinned.
+
+    Eviction is distance-from-current, not oldest-first: the read path only
+    ever looks a bounded window around the frame being written (strided
+    non-cond selection + obj-ptr scan), in BOTH directions, so the right
+    victim is the frame furthest from the write position. Oldest-first
+    breaks reverse tracking, where the most recently written frames have the
+    smallest indices and would be evicted first once the bank fills."""
     match = frame_idx_vec == frame_idx
     empty = frame_idx_vec < 0
-    evict_key = jnp.where(pinned, _FAR, frame_idx_vec)
+    dist = jnp.abs(frame_idx_vec - frame_idx)
+    evict_key = jnp.where(pinned, jnp.int32(-1), dist)
     slot = jnp.where(
         match.any(),
         jnp.argmax(match),
-        jnp.where(empty.any(), jnp.argmax(empty), jnp.argmin(evict_key)),
+        jnp.where(empty.any(), jnp.argmax(empty), jnp.argmax(evict_key)),
     )
     return slot, match.any()
 
@@ -163,6 +171,17 @@ def write_noncond(
         noncond_ptr=bank.noncond_ptr.at[slot].set(ptr.astype(bank.noncond_ptr.dtype)),
         noncond_frame_idx=bank.noncond_frame_idx.at[slot].set(frame_idx),
         noncond_obj_valid=bank.noncond_obj_valid.at[slot].set(obj_valid),
+    )
+
+
+def clear_object_rows(bank: MemoryBank, obj_idx: int) -> MemoryBank:
+    """Invalidate every bank memory row for one object slot. Used by
+    remove_object so a later object reusing the freed slot never attends the
+    removed object's stale memories (the reference instead compacts slot
+    indices, sam2_video_predictor.py:1437-1535)."""
+    return bank.replace(
+        cond_obj_valid=bank.cond_obj_valid.at[:, obj_idx].set(False),
+        noncond_obj_valid=bank.noncond_obj_valid.at[:, obj_idx].set(False),
     )
 
 
@@ -370,16 +389,31 @@ def select_memory(
     cond_ptr_valid = (cond_valid & past_ok)[:, None] & cond_obj_valid  # [Ka, O]
     cond_ptr_dist = (frame_idx - cond_t) * tpos_sign
 
-    # scan part: t_diff = 1 .. max_obj_ptrs-1
+    # scan part: t_diff = 1 .. max_obj_ptrs-1; a non-cond entry wins, with
+    # fallback to an UNSELECTED cond frame at the same index (the reference
+    # reads unselected_cond_outputs there, sam2_base.py:~575)
     max_ptrs = jnp.minimum(num_frames, cfg.max_obj_ptrs_in_encoder)
     t_diffs = jnp.arange(1, cfg.max_obj_ptrs_in_encoder, dtype=jnp.int32)
     scan_t = jnp.where(reverse, frame_idx + t_diffs, frame_idx - t_diffs)
     in_range = (scan_t >= 0) & (scan_t < num_frames) & (t_diffs < max_ptrs)
     eqp = bank.noncond_frame_idx[None, :] == scan_t[:, None]
-    scan_found = eqp.any(axis=1) & in_range
+    nc_found = eqp.any(axis=1)
     scan_slots = jnp.argmax(eqp, axis=1)
     scan_ptrs = jnp.take(bank.noncond_ptr, scan_slots, axis=0)  # [15, O, C]
     scan_obj_valid = jnp.take(bank.noncond_obj_valid, scan_slots, axis=0)
+
+    selected = jnp.zeros_like(valid).at[cond_slots].set(cond_valid)
+    eqc = (bank.cond_frame_idx[None, :] == scan_t[:, None]) & (
+        valid & ~selected
+    )[None, :]
+    c_found = eqc.any(axis=1)
+    c_slots = jnp.argmax(eqc, axis=1)
+    c_ptrs = jnp.take(bank.cond_ptr, c_slots, axis=0)
+    c_obj_valid = jnp.take(bank.cond_obj_valid, c_slots, axis=0)
+
+    scan_ptrs = jnp.where(nc_found[:, None, None], scan_ptrs, c_ptrs)
+    scan_obj_valid = jnp.where(nc_found[:, None], scan_obj_valid, c_obj_valid)
+    scan_found = (nc_found | c_found) & in_range
 
     ptrs = jnp.concatenate([cond_ptrs, scan_ptrs], axis=0).transpose(1, 0, 2)
     ptr_dist = jnp.concatenate([cond_ptr_dist, t_diffs])

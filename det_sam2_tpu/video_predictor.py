@@ -88,7 +88,9 @@ class InferenceSession:
         self.pre_frames = 0  # preload memory bank frame count
         self.preload_cond_indices: List[int] = []
         self._feat_cache: Optional[Tuple[int, tuple]] = None
-        self._empty_ptr: Optional[np.ndarray] = None
+        # frame_idx -> empty-mask pointer (the reference computes
+        # _get_empty_mask_ptr per frame from that frame's features)
+        self._empty_ptr: Dict[int, np.ndarray] = {}
 
     @property
     def obj_ids(self) -> List[int]:
@@ -241,7 +243,12 @@ class SAM2VideoPredictor:
         re-consolidation (fork, :224-333)."""
         if obj_id in session.obj_id_to_idx:
             return session.obj_id_to_idx[obj_id]
-        obj_idx = session.num_objects
+        # smallest free slot (slots are non-contiguous after remove_object;
+        # freed slots are safe to reuse because remove_object blanks their
+        # bank rows via clear_object_rows)
+        obj_idx = 0
+        while obj_idx in session.obj_idx_to_id:
+            obj_idx += 1
         session.obj_id_to_idx[obj_id] = obj_idx
         session.obj_idx_to_id[obj_idx] = obj_id
         self._ensure_bank(session, obj_idx + 1)
@@ -266,11 +273,11 @@ class SAM2VideoPredictor:
             )
 
     def _empty_mask_ptr(self, session: InferenceSession, frame_idx: int):
-        if session._empty_ptr is None:
+        if frame_idx not in session._empty_ptr:
             feats = self._get_feats(session, frame_idx)
             ptr = self.engine.empty_mask_ptr(feats, frame_idx)
-            session._empty_ptr = np.asarray(ptr, np.float32)
-        return session._empty_ptr
+            session._empty_ptr[frame_idx] = np.asarray(ptr, np.float32)
+        return session._empty_ptr[frame_idx]
 
     def _lookup_output_row(self, session, obj_idx: int, frame_idx: int,
                            prefer_cond_temp: bool = True):
@@ -316,7 +323,7 @@ class SAM2VideoPredictor:
         scores = np.full((o, 1), 10.0, np.float32)
         valid = np.zeros(o, bool)
 
-        for obj_idx in range(session.num_objects):
+        for obj_idx in sorted(session.obj_idx_to_id):
             row, found = self._lookup_output_row(session, obj_idx, frame_idx)
             if not found:
                 if run_mem_encoder:
@@ -665,9 +672,7 @@ class SAM2VideoPredictor:
             masks_t = np.asarray(masks_t, np.float32)
             ptrs_t = np.asarray(ptrs_t, np.float32)
             scores_t = np.asarray(scores_t, np.float32)
-            valid_row = np.asarray(
-                [i < session.num_objects for i in range(session.bank_objs)]
-            )
+            valid_row = self._active_mask(session)
             for i, frame_idx in enumerate(order):
                 if _skip(frame_idx):
                     store = (
@@ -747,10 +752,7 @@ class SAM2VideoPredictor:
                     "object_score_logits": np.asarray(
                         host_out["object_score_logits"], np.float32
                     ),
-                    "valid": np.asarray(
-                        [i < session.num_objects
-                         for i in range(session.bank_objs)]
-                    ),
+                    "valid": self._active_mask(session),
                 }
                 pred_masks = masks_np
             session.frames_already_tracked[frame_idx] = {"reverse": reverse}
@@ -797,6 +799,8 @@ class SAM2VideoPredictor:
         session.consolidated_noncond = {
             t for t in session.consolidated_noncond if not _in_range(t)
         }
+        for t in [t for t in session._empty_ptr if _in_range(t)]:
+            session._empty_ptr.pop(t, None)
         if session.bank is not None:
             session.bank = bank_ops.release_frames(
                 session.bank, jnp.int32(oldest_allowed + 1)
@@ -889,6 +893,10 @@ class SAM2VideoPredictor:
                 if obj_idx < len(out["valid"]):
                     out["valid"][obj_idx] = False
                     out["pred_masks"][obj_idx] = NO_OBJ_SCORE
+        if session.bank is not None:
+            # blank this slot's bank rows so a later object reusing the slot
+            # (see _obj_id_to_idx) never attends stale memories
+            session.bank = bank_ops.clear_object_rows(session.bank, obj_idx)
         return session.obj_ids
 
     def clear_all_prompts_in_frame(
@@ -905,7 +913,7 @@ class SAM2VideoPredictor:
         still_prompted = any(
             frame_idx in session.point_inputs_per_obj[i]
             or frame_idx in session.mask_inputs_per_obj[i]
-            for i in range(session.num_objects)
+            for i in session.obj_idx_to_id
         )
         if not still_prompted and frame_idx in session.cond_outputs:
             out = session.cond_outputs.pop(frame_idx)
