@@ -35,7 +35,11 @@ REPEATS = 4
 def main():
     cfg = with_image_size(sam2_1_hiera_s(), 768)
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
-    bank = init_bank(cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16)
+    # one cond frame is written below -> attend bucket 1 (what the video
+    # predictor would set for this session)
+    bank = init_bank(
+        cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16, attend_cond_tiles=1
+    )
 
     rng = np.random.default_rng(0)
     size = cfg.image_size

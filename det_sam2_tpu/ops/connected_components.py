@@ -171,7 +171,11 @@ def connected_components_jax(
     masks: jnp.ndarray, max_iters: Optional[int] = None
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Device CC: masks [..., H, W] bool -> (labels int32 [+1-based],
-    areas int32). Iterative min-label propagation to a fixed point."""
+    areas int32). Min-label propagation with POINTER JUMPING: each round
+    does one 8-neighbor min (reach +1) then one label = label[label] hop
+    (reach doubles), so convergence is O(log(component diameter)) serial
+    steps instead of O(diameter) — ~16 rounds for a 192^2 grid worst case
+    vs up to h*w for plain propagation."""
     fg = masks != 0
     h, w = fg.shape[-2], fg.shape[-1]
     big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
@@ -181,17 +185,28 @@ def connected_components_jax(
         + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1),
         big,
     )
+    lead = fg.shape[:-2]
+    fg_flat = fg.reshape(-1, h * w)
+
+    def jump(labels):
+        # labels of foreground pixels are flat indices of same-component
+        # pixels; one hop halves the remaining chain depth
+        flat = labels.reshape(-1, h * w)
+        ptr = jnp.clip(flat, 0, h * w - 1)
+        hopped = jnp.take_along_axis(flat, ptr, axis=-1)
+        out = jnp.where(fg_flat, jnp.minimum(flat, hopped), big)
+        return out.reshape(labels.shape)
 
     def cond(state):
         labels, changed, it = state
-        # worst-case component diameter is h*w (snakes); the loop exits at
-        # the fixed point long before that in practice
+        # the fixed-point check terminates the loop; the bound is a safety
+        # net only (with jumping, real convergence is ~log(diameter) rounds)
         limit = max_iters if max_iters is not None else h * w
         return changed & (it < limit)
 
     def body(state):
         labels, _, it = state
-        new = _propagate_once(labels, fg)
+        new = jump(_propagate_once(labels, fg))
         return new, jnp.any(new != labels), it + 1
 
     labels, _, _ = jax.lax.while_loop(cond, body, (init, jnp.bool_(True), 0))
@@ -209,11 +224,60 @@ def connected_components_jax(
     return labels_out, areas
 
 
+def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
+    """Exact mask of pixels belonging to connected components with area
+    <= max_area, using a FIXED number of propagation rounds (hot-path
+    replacement for full CC inside the per-frame step).
+
+    Why ceil(max_area) rounds are exact:
+      * a component with area <= A has diameter < A, so A rounds of
+        8-neighbor min-propagation fully converge it -> its label group IS
+        the component and the area test is exact;
+      * a larger component may be fragmented into label groups, but any
+        group that would pass the area test (<= A pixels) either contains a
+        pixel that still changes in one more round (excluded by the
+        fixed-point check), or is a min-rooted radius-A ball with >= A+1
+        pixels (excluded by the area test).
+    No while_loop, no per-round gathers — just A+1 rounds of rolls/mins plus
+    one segment_sum/segment_max pair."""
+    a = int(np.ceil(max_area))
+    fg = masks != 0
+    h, w = fg.shape[-2], fg.shape[-1]
+    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    labels = jnp.where(
+        fg,
+        jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2) * w
+        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1),
+        big,
+    )
+    labels = jax.lax.fori_loop(
+        0, a, lambda _, lab: _propagate_once(lab, fg), labels,
+        unroll=min(a, 8),
+    )
+    changed = (_propagate_once(labels, fg) != labels) & fg
+
+    flat_lab = jnp.where(fg, labels, 0).reshape(-1, h * w)
+    flat_fg = fg.reshape(-1, h * w)
+    flat_ch = changed.reshape(-1, h * w)
+
+    def per_image(lab_row, fg_row, ch_row):
+        seg_area = jax.ops.segment_sum(
+            fg_row.astype(jnp.int32), lab_row, num_segments=h * w
+        )
+        seg_changed = jax.ops.segment_max(
+            ch_row.astype(jnp.int32), lab_row, num_segments=h * w
+        )
+        small = (seg_area > 0) & (seg_area <= max_area) & (seg_changed == 0)
+        return small[lab_row]
+
+    small = jax.vmap(per_image)(flat_lab, flat_fg, flat_ch)
+    return small.reshape(fg.shape) & fg
+
+
 def fill_holes_in_mask_scores_jax(
     mask: jnp.ndarray, max_area: float
 ) -> jnp.ndarray:
     """Device fill-holes on mask logits [..., H, W] (misc.py:365-393);
     background components with area <= max_area become 0.1 foreground."""
-    labels, areas = connected_components_jax(mask <= 0)
-    is_hole = (labels > 0) & (areas <= max_area)
+    is_hole = small_components_jax(mask <= 0, max_area)
     return jnp.where(is_hole, jnp.asarray(0.1, mask.dtype), mask)

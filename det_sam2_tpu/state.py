@@ -56,13 +56,25 @@ class MemoryBank:
     noncond_ptr: jnp.ndarray  # [Kn, O, C]
     noncond_frame_idx: jnp.ndarray  # [Kn] int32
     noncond_obj_valid: jnp.ndarray  # [Kn, O] bool
+    # STATIC metadata (not a pytree leaf): how many cond tiles the read path
+    # attends. All pre-attention K/V work (projections, RoPE, pos-add) runs
+    # densely over the padded memory, so sizing the attend set to the LIVE
+    # cond count — bucketed so recompiles are bounded — is what keeps the
+    # 20-cond-capable layout from costing 20 tiles of bandwidth when only
+    # 1-2 cond frames exist. 0 = full capacity.
+    attend_cond_tiles: int = flax.struct.field(pytree_node=False, default=0)
 
     @property
     def num_objects(self) -> int:
         return self.cond_mem.shape[1]
 
 
-def init_bank(cfg: SAM2Config, num_objects: int, dtype=jnp.float32) -> MemoryBank:
+def init_bank(
+    cfg: SAM2Config,
+    num_objects: int,
+    dtype=jnp.float32,
+    attend_cond_tiles: int = 0,
+) -> MemoryBank:
     s = cfg.image_embedding_size ** 2
     kc, kn = cfg.cond_bank_size, cfg.noncond_bank_size
     o, cm, c = num_objects, cfg.mem_dim, cfg.hidden_dim
@@ -76,7 +88,18 @@ def init_bank(cfg: SAM2Config, num_objects: int, dtype=jnp.float32) -> MemoryBan
         noncond_ptr=jnp.zeros((kn, o, c), dtype),
         noncond_frame_idx=jnp.full((kn,), INVALID),
         noncond_obj_valid=jnp.zeros((kn, o), bool),
+        attend_cond_tiles=attend_cond_tiles,
     )
+
+
+def cond_tile_bucket(cfg: SAM2Config, live_cond: int) -> int:
+    """Power-of-two bucket (capped at capacity) for the attended cond-tile
+    count, so live-cond growth triggers at most ~log2(capacity) recompiles."""
+    cap = min(cfg.cond_attn_size, cfg.cond_bank_size)
+    b = 1
+    while b < min(max(live_cond, 1), cap):
+        b *= 2
+    return min(b, cap)
 
 
 def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
@@ -95,15 +118,12 @@ def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
             return jnp.pad(x, widths)
         return x
 
-    return MemoryBank(
+    return bank.replace(
         cond_mem=_pad(bank.cond_mem),
         cond_ptr=_pad(bank.cond_ptr),
-        cond_frame_idx=bank.cond_frame_idx,
-        cond_pinned=bank.cond_pinned,
         cond_obj_valid=_pad(bank.cond_obj_valid),
         noncond_mem=_pad(bank.noncond_mem),
         noncond_ptr=_pad(bank.noncond_ptr),
-        noncond_frame_idx=bank.noncond_frame_idx,
         noncond_obj_valid=_pad(bank.noncond_obj_valid),
     )
 
@@ -284,13 +304,14 @@ class MemoryLayout:
         return self.num_spatial_tokens + self.num_ptr_tokens
 
 
-def memory_layout(cfg: SAM2Config) -> MemoryLayout:
+def memory_layout(cfg: SAM2Config, attend_cond_tiles: int = 0) -> MemoryLayout:
+    cap = min(cfg.cond_attn_size, cfg.cond_bank_size)
+    ka = cap if attend_cond_tiles <= 0 else min(attend_cond_tiles, cap)
     return MemoryLayout(
-        num_cond_tiles=min(cfg.cond_attn_size, cfg.cond_bank_size),
+        num_cond_tiles=ka,
         num_noncond_tiles=cfg.num_maskmem - 1,
         tokens_per_tile=cfg.image_embedding_size ** 2,
-        num_ptr_slots=min(cfg.cond_attn_size, cfg.cond_bank_size)
-        + cfg.max_obj_ptrs_in_encoder - 1,
+        num_ptr_slots=ka + cfg.max_obj_ptrs_in_encoder - 1,
         tokens_per_ptr=cfg.hidden_dim // cfg.mem_dim,
     )
 
@@ -335,7 +356,7 @@ def select_memory(
       ptr_valid     [P] bool
       t_diff_max    scalar int32         tpos normalizer (min(F,16)-1)
     """
-    lay = memory_layout(cfg)
+    lay = memory_layout(cfg, bank.attend_cond_tiles)
     ka = lay.num_cond_tiles
     tpos_sign = -1 if reverse else 1
 

@@ -436,7 +436,8 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=None)
-    def _encode_cond_fn(self, is_mask_from_pts: bool, pinned: bool):
+    def _encode_cond_fn(self, is_mask_from_pts: bool, pinned: bool,
+                        to_cond: bool = True):
         cfg, model = self.cfg, self.model
 
         def body(m, feats, bank, frame_idx, low_res_masks, obj_logits, obj_ptr,
@@ -453,8 +454,11 @@ class SAM2Engine:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
-            return write_cond(bank, frame_idx, smem, obj_ptr,
-                              obj_valid=obj_valid, pinned=pinned)
+            if to_cond:
+                return write_cond(bank, frame_idx, smem, obj_ptr,
+                                  obj_valid=obj_valid, pinned=pinned)
+            return write_noncond(bank, frame_idx, smem, obj_ptr,
+                                 obj_valid=obj_valid)
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 
@@ -468,6 +472,25 @@ class SAM2Engine:
         if obj_valid is None:
             obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
         return self._encode_cond_fn(bool(is_mask_from_pts), bool(pinned))(
+            {"params": self.params}, feats, bank, np.int32(frame_idx),
+            np.asarray(low_res_masks, np.float32),
+            np.asarray(object_score_logits, np.float32), obj_ptr,
+            np.asarray(obj_valid),
+        )
+
+    def encode_noncond_memory(
+        self, feats, bank, frame_idx, low_res_masks, object_score_logits,
+        obj_ptr, is_mask_from_pts: bool = True, obj_valid=None,
+    ):
+        """Consolidated NON-cond frame memory encoding (corrections on
+        already-tracked frames land in non_cond_frame_outputs in the
+        reference, sam2_video_predictor.py:858-871 — they are read back as
+        strided non-cond memories, not as conditioning frames)."""
+        if obj_valid is None:
+            obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
+        return self._encode_cond_fn(
+            bool(is_mask_from_pts), False, to_cond=False
+        )(
             {"params": self.params}, feats, bank, np.int32(frame_idx),
             np.asarray(low_res_masks, np.float32),
             np.asarray(object_score_logits, np.float32), obj_ptr,

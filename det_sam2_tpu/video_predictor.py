@@ -272,6 +272,17 @@ class SAM2VideoPredictor:
                 session, frame_idx, is_cond=True, run_mem_encoder=True
             )
 
+    def _refresh_cond_bucket(self, session: InferenceSession) -> None:
+        """Size the attended cond-tile set to the live cond count (bucketed;
+        static bank metadata — steps recompile per bucket, bounded set).
+        Semantics stay exact: bucket >= live count up to cond_attn_size."""
+        if session.bank is None:
+            return
+        live = len(set(session.cond_outputs) | set(session.preload_cond_indices))
+        b = bank_ops.cond_tile_bucket(self.cfg, live)
+        if b != session.bank.attend_cond_tiles:
+            session.bank = session.bank.replace(attend_cond_tiles=b)
+
     def _empty_mask_ptr(self, session: InferenceSession, frame_idx: int):
         if frame_idx not in session._empty_ptr:
             feats = self._get_feats(session, frame_idx)
@@ -354,20 +365,34 @@ class SAM2VideoPredictor:
 
         if run_mem_encoder:
             feats = self._get_feats(session, frame_idx)
-            session.bank = self.engine.encode_cond_memory(
-                feats,
-                session.bank,
-                frame_idx,
-                jnp.asarray(masks),
-                jnp.asarray(scores),
-                jnp.asarray(ptrs, np.float32),
-                is_mask_from_pts=True,
-                pinned=frame_idx in session.preload_cond_indices,
-                obj_valid=jnp.asarray(self._active_mask(session)),
-            )
-            session.bank = bank_ops.invalidate_noncond(
-                session.bank, jnp.int32(frame_idx)
-            )
+            if is_cond:
+                session.bank = self.engine.encode_cond_memory(
+                    feats,
+                    session.bank,
+                    frame_idx,
+                    jnp.asarray(masks),
+                    jnp.asarray(scores),
+                    jnp.asarray(ptrs, np.float32),
+                    is_mask_from_pts=True,
+                    pinned=frame_idx in session.preload_cond_indices,
+                    obj_valid=jnp.asarray(self._active_mask(session)),
+                )
+                session.bank = bank_ops.invalidate_noncond(
+                    session.bank, jnp.int32(frame_idx)
+                )
+            else:
+                # corrections on tracked frames stay NON-cond memories
+                # (reference stores them in non_cond_frame_outputs)
+                session.bank = self.engine.encode_noncond_memory(
+                    feats,
+                    session.bank,
+                    frame_idx,
+                    jnp.asarray(masks),
+                    jnp.asarray(scores),
+                    jnp.asarray(ptrs, np.float32),
+                    is_mask_from_pts=True,
+                    obj_valid=jnp.asarray(self._active_mask(session)),
+                )
             store = session.cond_outputs if is_cond else session.noncond_outputs
             store[frame_idx] = {
                 "pred_masks": masks.astype(np.float16),
@@ -375,6 +400,7 @@ class SAM2VideoPredictor:
                 "object_score_logits": scores,
                 "valid": valid,
             }
+            self._refresh_cond_bucket(session)
         return out
 
     def _video_res_masks(self, session, masks_np: np.ndarray) -> np.ndarray:
@@ -805,6 +831,7 @@ class SAM2VideoPredictor:
             session.bank = bank_ops.release_frames(
                 session.bank, jnp.int32(oldest_allowed + 1)
             )
+            self._refresh_cond_bucket(session)
         if release_images:
             for t in [t for t in session.frames if _in_range(t)]:
                 session.frames.pop(t, None)
@@ -871,6 +898,7 @@ class SAM2VideoPredictor:
         session.pre_frames = session.num_frames
         session.preload_cond_indices = sorted(session.cond_outputs.keys())
         session.tracking_has_started = True
+        self._refresh_cond_bucket(session)
         return session
 
     # ------------------------------------------------------------------
@@ -922,3 +950,4 @@ class SAM2VideoPredictor:
                 session.bank = bank_ops.demote_cond_frame(
                     session.bank, jnp.int32(frame_idx)
                 )
+                self._refresh_cond_bucket(session)

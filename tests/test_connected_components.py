@@ -95,3 +95,27 @@ def test_fill_sprinkles():
     out = fill_holes_and_sprinkles_np(logits, 0.0, 0.0, 8.0)
     assert (out[0, 28:30, 28:30] < 0).all()
     assert (out[0, 4:20, 4:20] > 0).all()
+
+
+def test_fill_holes_device_adversarial_vs_host():
+    """Bounded-rounds small-component detection must be EXACT: random
+    speckle, thin snakes longer than max_area (fragmentation bait), and
+    components exactly at the area boundary."""
+    from det_sam2_tpu.ops.connected_components import small_components_jax
+
+    rng = np.random.default_rng(7)
+    masks = (rng.uniform(size=(3, 56, 48)) > 0.55).astype(np.float32)
+    # a long 1-px snake (area 40 >> 8): must NOT be flagged anywhere
+    masks[0] = 0.0
+    for i in range(40):
+        masks[0, 8 + (i % 2), 4 + i // 2] = 1.0  # zigzag ~ diameter 20
+    # boundary cases: area exactly 8 (flag) and 9 (no flag)
+    masks[1, :2, :] = 0.0
+    masks[1, 0, 0:8] = 1.0
+    masks[1, 1, 20:29] = 0.0
+    masks[1, 0, 20:29] = 1.0
+
+    got = np.asarray(small_components_jax(jnp.asarray(masks), 8.0))
+    labels, areas = get_connected_components_np(masks)
+    want = (labels > 0) & (areas <= 8)
+    np.testing.assert_array_equal(got, want)
