@@ -2,15 +2,15 @@
 
 Measures the production propagation path — a whole tracking window run as
 one jitted lax.scan (engine.propagate_window: per frame image encode +
-memory attention + SAM heads + memory encode + bank write) — for hiera-S at
-768^2 with 2 tracked objects, the exact conditions of the baseline: the
-reference reports 24 FPS for the 768^2 model with 2 objects on a single
-A100-class GPU (sam2/sam2_video_predictor.py:71-72).
+memory attention + SAM heads + memory encode + bank write) — at 768^2 with
+2 tracked objects, the exact conditions of the baseline: the reference
+reports 24 FPS for the 768^2 model with 2 objects on a single A100-class
+GPU (sam2/sam2_video_predictor.py:71-72). Emits one JSON line per model:
+hiera-S (the fast config) and hiera-L (the BASELINE.md north-star config,
+target >= 2x = 48 FPS).
 
 Sync note: timings are forced with a scalar readback (block_until_ready does
 not reliably synchronize over remote device tunnels).
-
-Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
@@ -22,7 +22,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 import jax.numpy as jnp
 import numpy as np
 
-from det_sam2_tpu.configs import sam2_1_hiera_s, with_image_size
+from det_sam2_tpu.configs import sam2_1_hiera_l, sam2_1_hiera_s, with_image_size
 from det_sam2_tpu.state import init_bank
 from det_sam2_tpu.track import SAM2Engine
 
@@ -32,8 +32,7 @@ WINDOW = 60  # the app's max_frame_num_to_track default (det_sam2_RT.py:41)
 REPEATS = 4
 
 
-def main():
-    cfg = with_image_size(sam2_1_hiera_s(), 768)
+def bench_model(cfg) -> float:
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
     # one cond frame is written below -> attend bucket 1 (what the video
     # predictor would set for this session)
@@ -78,18 +77,23 @@ def main():
         )
     float(jnp.sum(outs[0]))
     dt = time.perf_counter() - t0
+    return REPEATS * WINDOW / dt
 
-    fps = REPEATS * WINDOW / dt
-    print(
-        json.dumps(
-            {
-                "metric": "propagate_fps_hiera_s_768_2obj",
-                "value": round(fps, 2),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
+
+def main():
+    for name, cfg_fn in (("hiera_s", sam2_1_hiera_s), ("hiera_l", sam2_1_hiera_l)):
+        fps = bench_model(with_image_size(cfg_fn(), 768))
+        print(
+            json.dumps(
+                {
+                    "metric": f"propagate_fps_{name}_768_2obj",
+                    "value": round(fps, 2),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round(fps / BASELINE_FPS, 3),
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":

@@ -53,6 +53,7 @@ class SAM2AutomaticMaskGenerator:
         point_grids: Optional[List[np.ndarray]] = None,
         min_mask_region_area: int = 0,
         output_mode: str = "binary_mask",
+        use_m2m: bool = False,
         multimask_output: bool = True,
     ):
         assert (points_per_side is None) != (point_grids is None), (
@@ -76,6 +77,7 @@ class SAM2AutomaticMaskGenerator:
         self.crop_overlap_ratio = crop_overlap_ratio
         self.min_mask_region_area = min_mask_region_area
         self.output_mode = output_mode
+        self.use_m2m = use_m2m
         self.multimask_output = multimask_output
 
     # ------------------------------------------------------------------
@@ -191,6 +193,25 @@ class SAM2AutomaticMaskGenerator:
             points=np.repeat(points, masks.shape[1], axis=0),
             low_res_masks=low_res.reshape(-1, *low_res.shape[2:]),
         )
+
+        if self.use_m2m:
+            # one-step refinement feeding the low-res logits back with the
+            # original click (reference refine_with_m2m :457-489)
+            new_masks, new_ious = [], []
+            for pts, lrm in batch_iterator(
+                self.points_per_batch, data["points"], data["low_res_masks"]
+            ):
+                m, iou, _ = self.predictor.predict_batch(
+                    pts[:, None, :],
+                    np.ones((len(pts), 1), np.int32),
+                    mask_input_batch=lrm[:, None],
+                    multimask_output=False,
+                    return_logits=True,
+                )
+                new_masks.append(m[:, 0])
+                new_ious.append(iou[:, 0])
+            data["masks"] = np.concatenate(new_masks)
+            data["iou_preds"] = np.concatenate(new_ious)
 
         if self.pred_iou_thresh > 0.0:
             data.filter(data["iou_preds"] > self.pred_iou_thresh)

@@ -172,9 +172,11 @@ class SAM2Config:
     # postprocessing
     fill_hole_area: int = 8
 
-    # perf: tanh GELU in the image encoder (~17% faster hiera-L encoder;
-    # not bit-parity with the torch reference)
-    use_approx_gelu: bool = False
+    # GELU form in the image encoder. None = auto: exact erf in fp32
+    # (bit-parity with torch nn.GELU), tanh in bf16 — the erf/tanh
+    # difference (~1e-3 abs) is below bf16 resolution while erf costs ~9 ms
+    # of the hiera-L 768^2 encoder on v5e (VPU transcendentals).
+    use_approx_gelu: Optional[bool] = None
 
     # training: rematerialize image-encoder activations (trade FLOPs for
     # memory over the T*B frame batch; jax.checkpoint)

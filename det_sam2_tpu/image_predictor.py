@@ -94,6 +94,7 @@ class SAM2ImagePredictor:
         self,
         point_coords_batch: np.ndarray,  # [B, P, 2]
         point_labels_batch: np.ndarray,  # [B, P]
+        mask_input_batch: np.ndarray = None,  # [B, 1, s4, s4] logits
         multimask_output: bool = True,
         return_logits: bool = False,
         normalize_coords: bool = True,
@@ -102,6 +103,7 @@ class SAM2ImagePredictor:
         coords = self._transform_coords(point_coords_batch, normalize_coords)
         out = self.engine.predict_step(
             self._features, coords, np.asarray(point_labels_batch, np.int32),
+            mask_input=mask_input_batch,
             multimask=multimask_output,
         )
         multimasks = np.asarray(out["multimasks"], np.float32)  # [B, M, s4, s4]

@@ -45,7 +45,10 @@ class SAM2Model(nn.Module):
             if c.remat_image_encoder
             else ImageEncoder
         )
-        gelu = approx_gelu if c.use_approx_gelu else exact_gelu
+        use_approx = c.use_approx_gelu
+        if use_approx is None:  # auto: tanh in bf16 (sub-ulp difference)
+            use_approx = self.dtype == jnp.bfloat16
+        gelu = approx_gelu if use_approx else exact_gelu
         self.image_encoder = encoder_cls(
             hiera_cfg=c.hiera,
             neck_cfg=c.neck,
@@ -141,6 +144,9 @@ class SAM2Model(nn.Module):
         mask_inputs: Optional[jnp.ndarray] = None,  # [B, H, W, 1] float
         high_res_features: Optional[List[jnp.ndarray]] = None,
         multimask_output: bool = False,
+        gate_no_obj: bool = True,  # False = the image-predictor path, which
+        # calls the decoder directly and never fills NO_OBJ_SCORE
+        # (sam2_image_predictor.py:420)
     ):
         """Equivalent of sam2_base.py:_forward_sam_heads (:254-399).
 
@@ -180,7 +186,7 @@ class SAM2Model(nn.Module):
             )
         )
         low_res_multimasks = low_res_multimasks.astype(jnp.float32)
-        if c.pred_obj_scores:
+        if c.pred_obj_scores and gate_no_obj:
             is_obj_appearing = object_score_logits > 0  # [B, 1]
             low_res_multimasks = jnp.where(
                 is_obj_appearing[:, None, None],

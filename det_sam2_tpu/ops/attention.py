@@ -37,8 +37,8 @@ _NEG_INF = -1e30
 _SKIP_THRESHOLD = -1e29  # a tile whose max bias is below this is skipped
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
-                  *, scale: float, has_bias: bool):
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr, *, scale: float, has_bias: bool):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -82,6 +82,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, m_scr, l_scr, acc_scr,
         # fully-masked query rows (l == 0) produce zeros, not NaN
         denom = jnp.maximum(l_scr[:], 1e-20)
         o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+        lse_ref[0, 0] = (m_scr[:] + jnp.log(denom))[:, 0]
 
 
 def _pad_axis(x, axis: int, to: int, value=0.0):
@@ -146,12 +147,18 @@ def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
     else:
         kernel = functools.partial(_flash_kernel, scale=scale, has_bias=True)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, 1, block_q), lambda b, iq, ik: (b, 0, iq)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
@@ -159,13 +166,262 @@ def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
         ],
         interpret=interpret,
     )(*args)
-    return out[:, :nq]
+    return out[:, :nq], lse[:, 0, :nq]
 
 
-def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
-                         *, scale: float):
-    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, m_scr, l_scr, acc_scr,
-                  scale=scale, has_bias=False)
+def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                         m_scr, l_scr, acc_scr, *, scale: float):
+    _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                  m_scr, l_scr, acc_scr, scale=scale, has_bias=False)
+
+
+# ---------------------------------------------------------------------------
+# backward (custom VJP): standard flash backward recomputing P from the saved
+# logsumexp; masked KV tiles are skipped exactly like the forward
+# ---------------------------------------------------------------------------
+
+
+def _safe_p(s, lse_row):
+    # fully-masked query rows have lse ~ -1e30; their P must be 0, not inf
+    safe = lse_row > _SKIP_THRESHOLD
+    return jnp.where(safe[:, None], jnp.exp(s - lse_row[:, None]), 0.0)
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                         delta_ref, dq_ref, dq_scr, *, scale: float,
+                         has_bias: bool):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    if has_bias:
+        bias = bias_ref[0, 0, :]
+        tile_live = jnp.max(bias) > _SKIP_THRESHOLD
+    else:
+        bias = None
+        tile_live = True
+
+    @pl.when(tile_live)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            s = s + bias[None, :]
+        p = _safe_p(s, lse_ref[0, 0])  # [BQ, BK]
+        do = do_ref[0]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None])
+        dq_scr[:] = dq_scr[:] + jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dq_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                delta_ref, dq_ref, dq_scr, *, scale: float):
+    _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, None, do_ref, lse_ref,
+                         delta_ref, dq_ref, dq_scr, scale=scale,
+                         has_bias=False)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                          *, scale: float, has_bias: bool):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    if has_bias:
+        bias = bias_ref[0, 0, :]
+        tile_live = jnp.max(bias) > _SKIP_THRESHOLD
+    else:
+        bias = None
+        tile_live = True
+
+    @pl.when(tile_live)
+    def _compute():
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if bias is not None:
+            s = s + bias[None, :]
+        p = _safe_p(s, lse_ref[0, 0])  # [BQ, BK]
+        do = do_ref[0]
+        dv_scr[:] = dv_scr[:] + jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, None])
+        dk_scr[:] = dk_scr[:] + jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(iq == nq - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel_nobias(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                 delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                                 *, scale: float):
+    _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, None, do_ref, lse_ref,
+                          delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                          scale=scale, has_bias=False)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
+                    interpret: bool):
+    bh, nq, d = q.shape
+    nk = k.shape[1]
+    scale = 1.0 / float(np.sqrt(d))
+
+    nq_pad = -(-nq // block_q) * block_q
+    nk_pad = -(-nk // block_k) * block_k
+    qp = _pad_axis(q, 1, nq_pad)
+    kp = _pad_axis(k, 1, nk_pad)
+    vp = _pad_axis(v, 1, nk_pad)
+    dop = _pad_axis(do.astype(jnp.float32), 1, nq_pad)
+    # padded query rows: lse = -inf sentinel so P = 0
+    lsep = _pad_axis(lse, 1, nq_pad, value=_NEG_INF)[:, None, :]
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), -1)
+    deltap = _pad_axis(delta, 1, nq_pad)[:, None, :]
+    has_bias = bias is not None
+    if has_bias:
+        biasp = _pad_axis(
+            bias.astype(jnp.float32), 1, nk_pad, value=_NEG_INF
+        )[:, None, :]
+    elif nk_pad != nk:
+        biasp = jnp.where(
+            jnp.arange(nk_pad) < nk, 0.0, _NEG_INF
+        )[None].astype(jnp.float32)
+        biasp = jnp.broadcast_to(biasp, (bh, nk_pad))[:, None, :]
+        has_bias = True
+    else:
+        biasp = None
+
+    q_spec_iq = pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0))
+    k_spec_iq = pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0))
+    row_spec_iq = pl.BlockSpec((1, 1, block_q), lambda b, iq, ik: (b, 0, iq))
+    bias_spec_iq = pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik))
+
+    args = [qp, kp, vp]
+    in_specs = [q_spec_iq, k_spec_iq, k_spec_iq]
+    if has_bias:
+        args.append(biasp)
+        in_specs.append(bias_spec_iq)
+        dq_kernel = functools.partial(
+            _flash_bwd_dq_kernel, scale=scale, has_bias=True
+        )
+    else:
+        dq_kernel = functools.partial(_flash_bwd_dq_kernel_nobias, scale=scale)
+    args += [dop, lsep, deltap]
+    in_specs += [q_spec_iq, row_spec_iq, row_spec_iq]
+
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(bh, nq_pad // block_q, nk_pad // block_k),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=interpret,
+    )(*args)
+
+    # dk/dv: grid over kv tiles, inner loop over q tiles
+    q_spec_ik = pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0))
+    k_spec_ik = pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0))
+    row_spec_ik = pl.BlockSpec((1, 1, block_q), lambda b, ik, iq: (b, 0, iq))
+    bias_spec_ik = pl.BlockSpec((1, 1, block_k), lambda b, ik, iq: (b, 0, ik))
+
+    args2 = [qp, kp, vp]
+    in_specs2 = [q_spec_ik, k_spec_ik, k_spec_ik]
+    if has_bias:
+        args2.append(biasp)
+        in_specs2.append(bias_spec_ik)
+        dkv_kernel = functools.partial(
+            _flash_bwd_dkv_kernel, scale=scale, has_bias=True
+        )
+    else:
+        dkv_kernel = functools.partial(
+            _flash_bwd_dkv_kernel_nobias, scale=scale
+        )
+    args2 += [dop, lsep, deltap]
+    in_specs2 += [q_spec_ik, row_spec_ik, row_spec_ik]
+
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(bh, nk_pad // block_k, nq_pad // block_q),
+        in_specs=in_specs2,
+        out_specs=(
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bh, nk_pad, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, d), v.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args2)
+    return dq[:, :nq], dk[:, :nk], dv[:, :nk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_core(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
+    out, _ = _flash_call(q, k, v, bias, block_q, block_k, interpret)
+    return out
+
+
+def _flash_core_fwd(q, k, v, bias, block_q, block_k, interpret):
+    out, lse = _flash_call(q, k, v, bias, block_q, block_k, interpret)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_core_bwd(block_q, block_k, interpret, res, dout):
+    q, k, v, bias, out, lse = res
+    dq, dk, dv = _flash_bwd_call(
+        q, k, v, bias, out, lse, dout, block_q, block_k, interpret
+    )
+    dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, dbias
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
 def flash_attention(
@@ -209,9 +465,7 @@ def flash_attention(
 
     block_q_eff = _pick_block(nq, block_q)
     block_k_eff = _pick_block(nk, block_k)
-    out = _flash_call(
-        qf, kf, vf, bf,
-        block_q=block_q_eff, block_k=block_k_eff,
-        interpret=not on_tpu,
+    out = _flash_core(
+        qf, kf, vf, bf, block_q_eff, block_k_eff, not on_tpu
     )
     return out.reshape(b, h, nq, d)

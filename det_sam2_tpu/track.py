@@ -366,6 +366,7 @@ class SAM2Engine:
                     mask_inputs=mask_input if has_mask else None,
                     high_res_features=[s0, s1],
                     multimask_output=multimask,
+                    gate_no_obj=False,  # image-predictor semantics
                 )
             )
             return {
@@ -548,7 +549,7 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=None)
-    def _propagate_window_fn(self, t: int, reverse: bool):
+    def _propagate_window_fn(self, t: int, n_images: int, reverse: bool):
         """Whole propagation window as ONE jitted lax.scan: T frames stream
         through encode+track+write with the MemoryBank as the scan carry.
         One upload, one dispatch, one download per window — the per-frame
@@ -557,16 +558,20 @@ class SAM2Engine:
 
         Frames flagged in `skips` (prompted/consolidated frames whose
         outputs are reused) pass through via lax.cond without inference or
-        bank writes."""
+        bank writes; their images are NOT uploaded — `images` holds only
+        the frames to run, addressed per step via `img_idx`."""
         cfg, model = self.cfg, self.model
         s4 = cfg.image_size // 4
 
         def body(m: SAM2Model, images, bank: MemoryBank, frame_indices,
-                 skips, num_frames, obj_valid):
+                 skips, img_idx, num_frames, obj_valid):
             # note: batch-encoding all T frames upfront was measured SLOWER
             # (hiera-S 768: 16.5 vs 12.8 ms/frame) — the B=T activations
             # blow past on-chip reuse; per-step encoding pipelines better.
-            def run_step(bank, img, frame_idx):
+            def run_step(bank, i_img, frame_idx):
+                img = jax.lax.dynamic_index_in_dim(
+                    images, i_img, axis=0, keepdims=False
+                )
                 feats = m.forward_image(normalize_image(img)[None])
                 o = bank.num_objects
                 s0, s1, feat = _broadcast_feats(feats, o)
@@ -597,7 +602,7 @@ class SAM2Engine:
                     obj_logits.astype(jnp.float32),
                 )
 
-            def skip_step(bank, img, frame_idx):
+            def skip_step(bank, i_img, frame_idx):
                 o = bank.num_objects
                 return bank, (
                     jnp.zeros((o, 1, s4, s4), jnp.float32),
@@ -606,30 +611,45 @@ class SAM2Engine:
                 )
 
             def step(bank, xs):
-                img, frame_idx, skip = xs
-                return jax.lax.cond(skip, skip_step, run_step, bank, img,
+                frame_idx, skip, i_img = xs
+                return jax.lax.cond(skip, skip_step, run_step, bank, i_img,
                                     frame_idx)
 
             return jax.lax.scan(
-                step, bank, (images, frame_indices, skips)
+                step, bank, (frame_indices, skips, img_idx)
             )
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 
     def propagate_window(self, images, bank, frame_indices, skips,
-                         num_frames, reverse=False, obj_valid=None):
-        """images [T, H, W, 3] uint8; frame_indices/skips [T].
+                         num_frames, reverse=False, obj_valid=None,
+                         img_idx=None):
+        """images: the frames to RUN, [N, H, W, 3] uint8 (N <= T; skipped
+        frames upload nothing); frame_indices/skips [T]; img_idx [T] maps
+        each step to its row of `images` (ignored on skip steps). With
+        img_idx=None, images must be [T, ...] (identity mapping).
         Returns (new_bank, (pred_masks [T,O,1,s4,s4], obj_ptr [T,O,C],
         object_score_logits [T,O,1]))."""
-        t = images.shape[0]
+        t = len(frame_indices)
+        if img_idx is None:
+            img_idx = np.arange(t, dtype=np.int32)
+        images = np.asarray(images)
+        # bucket the upload length so skip-count variation between windows
+        # reuses compiled graphs
+        n = images.shape[0]
+        n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
+        if n < n_bucket:
+            pad = np.zeros((n_bucket - n, *images.shape[1:]), images.dtype)
+            images = np.concatenate([images, pad])
         if obj_valid is None:
             obj_valid = np.ones((bank.num_objects,), bool)
-        return self._propagate_window_fn(t, bool(reverse))(
+        return self._propagate_window_fn(t, images.shape[0], bool(reverse))(
             {"params": self.params},
             jnp.asarray(images),
             bank,
             np.asarray(frame_indices, np.int32),
             np.asarray(skips, bool),
+            np.asarray(img_idx, np.int32),
             np.int32(num_frames),
             np.asarray(obj_valid),
         )

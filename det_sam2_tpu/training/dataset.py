@@ -112,6 +112,190 @@ class SyntheticRawDataset:
         return VideoClip(frames, masks)
 
 
+def decode_coco_rle(rle: Dict) -> np.ndarray:
+    """Decode a COCO RLE segmentation (compressed string or uncompressed
+    counts list) to a bool [H, W] mask — replaces pycocotools.mask.decode
+    for the SA-V / SA-1B loaders (vos_segment_loader.py uses mask_utils)."""
+    h, w = rle["size"]
+    counts = rle["counts"]
+    if isinstance(counts, (bytes, str)):
+        if isinstance(counts, str):
+            counts = counts.encode()
+        # COCO compressed RLE: LEB128-style with sign folding + delta coding
+        out, i, prev = [], 0, 0
+        while i < len(counts):
+            x, k = 0, 0
+            more = True
+            while more:
+                c = counts[i] - 48
+                x |= (c & 0x1F) << (5 * k)
+                more = bool(c & 0x20)
+                i += 1
+                k += 1
+            if x & (1 << (5 * k - 1)):
+                x -= 1 << (5 * k)
+            if len(out) > 2:
+                x += out[-2]
+            out.append(x)
+        counts = out
+    flat = np.zeros(h * w, bool)
+    pos = 0
+    val = False
+    for c in counts:
+        if val:
+            flat[pos : pos + c] = True
+        pos += c
+        val = not val
+    # COCO RLE is column-major
+    return flat.reshape(w, h).T
+
+
+class SA1BRawDataset:
+    """SA-1B static images as 1-frame videos: <img_folder>/sa_X.jpg +
+    <gt_folder>/sa_X.json (reference vos_raw_dataset.py:148-212 +
+    SA1BSegmentLoader vos_segment_loader.py:261-330)."""
+
+    def __init__(self, img_folder: str, gt_folder: str,
+                 file_list: Optional[Sequence[str]] = None,
+                 num_frames: int = 1,
+                 mask_area_frac_thresh: float = 1.1,
+                 uncertain_iou: float = -1.0):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.num_frames = num_frames
+        self.mask_area_frac_thresh = mask_area_frac_thresh
+        self.uncertain_iou = uncertain_iou
+        if file_list is not None:
+            self.videos = [os.path.splitext(v)[0] for v in file_list]
+        else:
+            self.videos = sorted(
+                os.path.splitext(p)[0]
+                for p in os.listdir(img_folder)
+                if p.endswith(".jpg")
+            )
+
+    def __len__(self):
+        return len(self.videos)
+
+    def frame_names(self, video: str) -> List[str]:
+        return ["00000"] * self.num_frames  # static image repeated
+
+    def load_frames(self, video: str, names: Sequence[str]) -> VideoClip:
+        import json
+
+        from PIL import Image
+
+        img = np.asarray(
+            Image.open(os.path.join(self.img_folder, video + ".jpg"))
+            .convert("RGB")
+        )
+        with open(os.path.join(self.gt_folder, video + ".json")) as f:
+            annots = json.load(f)["annotations"]
+        area = img.shape[0] * img.shape[1]
+        per_obj: Dict[int, np.ndarray] = {}
+        for ann in annots:
+            if not ann.get("area", 0) > 0:
+                continue
+            if ann.get("uncertain_iou", 1e9) < self.uncertain_iou:
+                continue
+            if (
+                self.mask_area_frac_thresh <= 1.0
+                and ann["area"] / area >= self.mask_area_frac_thresh
+            ):
+                continue
+            per_obj[len(per_obj) + 1] = decode_coco_rle(ann["segmentation"])
+        return VideoClip([img] * len(names), [dict(per_obj)] * len(names))
+
+
+class JSONRawDataset:
+    """SA-V style videos: <img_folder>/<video>/*.jpg frame dirs +
+    <gt_folder>/<video>/<video>_manual.json (or <video>.json) holding
+    per-frame RLE masklets (vos_raw_dataset.py:215-299 + JSONSegmentLoader
+    vos_segment_loader.py:23-101)."""
+
+    def __init__(self, img_folder: str, gt_folder: str,
+                 file_list: Optional[Sequence[str]] = None,
+                 ann_every: int = 1, frames_fps: int = 24,
+                 rm_unannotated: bool = True):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.ann_every = ann_every
+        self.frames_fps = frames_fps
+        self.rm_unannotated = rm_unannotated
+        self.videos = (
+            list(file_list) if file_list else sorted(os.listdir(img_folder))
+        )
+
+    def __len__(self):
+        return len(self.videos)
+
+    def _load_annots(self, video: str):
+        import json
+
+        for cand in (f"{video}_manual.json", f"{video}.json"):
+            p = os.path.join(self.gt_folder, video, cand)
+            if not os.path.exists(p):
+                p = os.path.join(self.gt_folder, cand)
+            if os.path.exists(p):
+                with open(p) as f:
+                    data = json.load(f)
+                break
+        else:
+            raise FileNotFoundError(f"no SA-V json for {video}")
+        ann_every = self.ann_every
+        if isinstance(data, dict):
+            annots = data.get("masklet", data.get("masks"))
+            fps = data.get("fps")
+            if fps is not None:
+                fps = int(fps[0] if isinstance(fps, list) else fps)
+                ann_every = self.frames_fps // fps
+        else:
+            annots = data
+        return annots, ann_every
+
+    def frame_names(self, video: str) -> List[str]:
+        d = os.path.join(self.img_folder, video)
+        names = sorted(
+            os.path.splitext(n)[0]
+            for n in os.listdir(d)
+            if os.path.splitext(n)[-1].lower() in (".jpg", ".jpeg", ".png")
+        )
+        annots, ann_every = self._load_annots(video)
+        if self.rm_unannotated:
+            names = [
+                n for i, n in enumerate(names)
+                if i % ann_every == 0 and i // ann_every < len(annots)
+            ]
+        return names
+
+    def load_frames(self, video: str, names: Sequence[str]) -> VideoClip:
+        from PIL import Image
+
+        annots, ann_every = self._load_annots(video)
+        all_names = sorted(
+            os.path.splitext(n)[0]
+            for n in os.listdir(os.path.join(self.img_folder, video))
+            if os.path.splitext(n)[-1].lower() in (".jpg", ".jpeg", ".png")
+        )
+        name_to_idx = {n: i for i, n in enumerate(all_names)}
+        frames, masks = [], []
+        for name in names:
+            for ext in (".jpg", ".jpeg", ".png"):
+                p = os.path.join(self.img_folder, video, name + ext)
+                if os.path.exists(p):
+                    frames.append(np.asarray(Image.open(p).convert("RGB")))
+                    break
+            fi = name_to_idx[name]
+            rles = annots[fi // ann_every]
+            per_obj = {
+                oid + 1: decode_coco_rle(rle)
+                for oid, rle in enumerate(rles)
+                if rle is not None
+            }
+            masks.append(per_obj)
+        return VideoClip(frames, masks)
+
+
 class RandomUniformSampler:
     """Pick num_frames sorted frames and <= max_num_objects objects
     (vos_sampler.py:31-78)."""
@@ -133,9 +317,59 @@ class RandomUniformSampler:
         return [names[i] for i in picks]
 
 
+class EvalSampler:
+    """All frames, all first-frame objects (vos_sampler.py:81-105)."""
+
+    num_frames = None
+    max_num_objects = 10**9
+
+    def sample(self, rng: random.Random, names: List[str]) -> List[str]:
+        return sorted(names)
+
+
 # ---------------------------------------------------------------------------
 # video-consistent augmentations
 # ---------------------------------------------------------------------------
+
+
+def affine_clip(clip: VideoClip, rng: random.Random, degrees: float = 25.0,
+                shear: float = 20.0) -> VideoClip:
+    """Consistent random rotation+shear across the clip (reference
+    transforms.RandomAffine, MOSE yaml :28-32). Nearest for masks."""
+    import cv2
+
+    h, w = clip.frames[0].shape[:2]
+    angle = rng.uniform(-degrees, degrees)
+    sh = np.deg2rad(rng.uniform(-shear, shear))
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    m_shear = np.asarray([[1.0, np.tan(sh), 0.0], [0.0, 1.0, 0.0]], np.float64)
+    m3 = np.vstack([m, [0, 0, 1]]) @ np.vstack([m_shear, [0, 0, 1]])
+    m = m3[:2]
+    frames = [
+        cv2.warpAffine(f, m, (w, h), flags=cv2.INTER_LINEAR)
+        for f in clip.frames
+    ]
+    masks = [
+        {
+            k: cv2.warpAffine(
+                msk.astype(np.uint8), m, (w, h), flags=cv2.INTER_NEAREST
+            ).astype(bool)
+            for k, msk in per.items()
+        }
+        for per in clip.masks
+    ]
+    return VideoClip(frames, masks)
+
+
+def grayscale_clip(clip: VideoClip) -> VideoClip:
+    """Consistent RandomGrayscale (MOSE yaml :43-45)."""
+    frames = []
+    for f in clip.frames:
+        g = (
+            0.299 * f[..., 0] + 0.587 * f[..., 1] + 0.114 * f[..., 2]
+        ).astype(np.uint8)
+        frames.append(np.stack([g, g, g], axis=-1))
+    return VideoClip(frames, clip.masks)
 
 
 def hflip_clip(clip: VideoClip) -> VideoClip:
@@ -193,6 +427,8 @@ class VOSDataLoader:
         batch_size: int = 2,
         hflip_prob: float = 0.5,
         color_jitter_prob: float = 0.8,
+        affine_prob: float = 0.0,  # MOSE recipe uses 1.0, degrees 25/shear 20
+        grayscale_prob: float = 0.0,  # MOSE recipe: 0.05
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -201,6 +437,8 @@ class VOSDataLoader:
         self.batch_size = batch_size
         self.hflip_prob = hflip_prob
         self.color_jitter_prob = color_jitter_prob
+        self.affine_prob = affine_prob
+        self.grayscale_prob = grayscale_prob
         self.seed = seed
 
     def _load_track(self, rng: random.Random):
@@ -209,8 +447,12 @@ class VOSDataLoader:
         clip = self.dataset.load_frames(video, names)
         if rng.random() < self.hflip_prob:
             clip = hflip_clip(clip)
+        if rng.random() < self.affine_prob:
+            clip = affine_clip(clip, rng)
         if rng.random() < self.color_jitter_prob:
             clip = color_jitter_clip(clip, rng)
+        if rng.random() < self.grayscale_prob:
+            clip = grayscale_clip(clip)
         clip = resize_clip(clip, self.image_size)
         # choose up to max_num_objects present in the first frame
         # (vos_sampler.py:31-78; missing objects pad with empty masks)

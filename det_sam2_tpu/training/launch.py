@@ -1,0 +1,183 @@
+"""Multi-host training entry: jax.distributed + global-mesh data feeding.
+
+TPU-native replacement for the reference's launcher
+(/root/reference/training/train.py:28-123: argparse -> submitit SLURM or
+local multiprocess, 1 process per GPU, NCCL rendezvous). On TPU pods the
+runtime launches one process per host; `init_distributed()` wires them into
+one JAX runtime (jax.distributed.initialize auto-detects coordinator/rank
+on TPU pods and under SLURM), and the mesh spans all global devices. Each
+process feeds only its local batch shard; `host_local_batch_to_global`
+assembles the global sharded array (the jax analogue of the reference's
+per-rank DistributedSampler + DDP all-reduce).
+
+Single-process use (tests, one chip) works unchanged: initialize is
+skipped, the "global" mesh is the local one.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("det_sam2_tpu.launch")
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Tuple[int, int]:
+    """Initialize the multi-process JAX runtime. Returns
+    (process_index, process_count). No-ops when single-process and no
+    coordinator is given (reference equivalent: train.py:28-123 +
+    torch.distributed init in trainer)."""
+    import jax
+
+    if coordinator_address is None and num_processes is None:
+        try:
+            import jax.distributed as jd
+
+            # auto-detection works on TPU pods and under SLURM; on a plain
+            # single host it raises and we stay single-process
+            jd.initialize()
+        except Exception:
+            pass
+    else:
+        import jax.distributed as jd
+
+        jd.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return jax.process_index(), jax.process_count()
+
+
+def make_global_mesh(axis_name: str = "data"):
+    """One data-parallel mesh over every device of every process."""
+    import jax
+    from jax.sharding import Mesh
+
+    return Mesh(np.asarray(jax.devices()), (axis_name,))
+
+
+def host_local_batch_to_global(mesh, arrays, axis: int = 1):
+    """Per-process local batch shards -> global jax.Arrays sharded over the
+    mesh 'data' axis. Each process passes only ITS slice of the global
+    batch (global batch = local batch * process_count)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    axis_name = mesh.axis_names[0]
+
+    def to_global(x):
+        spec = [None] * np.ndim(x)
+        spec[axis] = axis_name
+        sharding = NamedSharding(mesh, P(*spec))
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+
+    return jax.tree_util.tree_map(to_global, arrays)
+
+
+class DistributedDataLoader:
+    """Wraps a host loader so each process contributes its local shard of
+    the global batch (reference: per-rank DistributedSampler)."""
+
+    def __init__(self, loader, mesh):
+        self.loader = loader
+        self.mesh = mesh
+
+    def batches(self, n: int):
+        for images, gt in self.loader.batches(n):
+            yield host_local_batch_to_global(self.mesh, (images, gt), axis=1)
+
+
+def main(argv: Optional[Sequence[str]] = None) -> None:
+    """CLI: mirrors the reference launcher's surface (train.py) with
+    jax-native flags. The dataset root uses the MOSE/DAVIS layout."""
+    p = argparse.ArgumentParser(description="det_sam2_tpu multi-host trainer")
+    p.add_argument("--img-folder", required=True)
+    p.add_argument("--gt-folder", required=True)
+    p.add_argument("--model", default="hiera_b+", choices=["hiera_t", "hiera_s", "hiera_b+", "hiera_l"])
+    p.add_argument("--image-size", type=int, default=1024)
+    p.add_argument("--num-epochs", type=int, default=40)
+    p.add_argument("--steps-per-epoch", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=1, help="per device")
+    p.add_argument("--num-frames", type=int, default=8)
+    p.add_argument("--max-objects", type=int, default=3)
+    p.add_argument("--base-lr", type=float, default=5e-6)
+    p.add_argument("--vision-lr", type=float, default=3e-6)
+    p.add_argument("--layer-decay", type=float, default=0.9)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--restore", default=None)
+    p.add_argument("--torch-ckpt", default=None, help="reference .pt to finetune from")
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    args = p.parse_args(argv)
+
+    pid, pcount = init_distributed(
+        args.coordinator_address, args.num_processes, args.process_id
+    )
+    import jax
+
+    logger.info(
+        "process %d/%d, %d local / %d global devices",
+        pid, pcount, jax.local_device_count(), jax.device_count(),
+    )
+
+    from det_sam2_tpu.build import build_sam2
+    from det_sam2_tpu.configs import MODEL_CONFIGS, with_image_size
+    from det_sam2_tpu.training.dataset import (
+        PNGRawDataset,
+        RandomUniformSampler,
+        VOSDataLoader,
+    )
+    from det_sam2_tpu.training.sam2_train import PromptSimConf
+    from det_sam2_tpu.training.train_step import OptimConf
+    from det_sam2_tpu.training.trainer import Trainer, TrainerConf
+
+    cfg = with_image_size(MODEL_CONFIGS[args.model](), args.image_size)
+    engine = build_sam2(cfg=cfg, checkpoint=args.torch_ckpt)
+
+    mesh = make_global_mesh()
+    local_devices = jax.local_device_count()
+    loader = VOSDataLoader(
+        PNGRawDataset(args.img_folder, args.gt_folder),
+        RandomUniformSampler(
+            num_frames=args.num_frames, max_num_objects=args.max_objects
+        ),
+        image_size=args.image_size,
+        batch_size=args.batch_size * local_devices,
+        affine_prob=1.0,
+        grayscale_prob=0.05,
+        seed=1000 + pid,  # per-process data stream
+    )
+    trainer = Trainer(
+        cfg,
+        engine,
+        optim_conf=OptimConf(
+            base_lr=args.base_lr,
+            vision_lr=args.vision_lr,
+            layer_decay=args.layer_decay,
+            total_steps=args.num_epochs * args.steps_per_epoch,
+        ),
+        trainer_conf=TrainerConf(
+            num_epochs=args.num_epochs,
+            steps_per_epoch=args.steps_per_epoch,
+            checkpoint_dir=args.checkpoint_dir,
+            prompt_sim=PromptSimConf(),
+            clip_length=args.num_frames,
+        ),
+        mesh=mesh,
+    )
+    if args.restore:
+        trainer.load_checkpoint(args.restore)
+    trainer.run(DistributedDataLoader(loader, mesh))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,26 +1,30 @@
 """Training-time forward: simulated-prompt video tracking with in-graph memory.
 
-Behavioral equivalent (v1) of /root/reference/training/model/sam2.py
+Behavioral equivalent of /root/reference/training/model/sam2.py
 (SAM2Train :25, forward :107, prepare_prompt_inputs :146, forward_tracking
-:269). The reference keeps a dict of per-frame outputs and feeds them back as
-memory; here the per-frame memories live in unrolled-python lists inside one
-jitted graph (static T), which XLA schedules as a single differentiable
-program — no state pytree needed for training.
+:269, track_step :352, _iter_correct_pt_sampling :448). The reference keeps
+a dict of per-frame outputs and feeds them back as memory; here the
+per-frame memories live in unrolled-python lists inside one jitted graph
+(static T), which XLA schedules as a single differentiable program.
 
-v1 scope: one initial conditioning frame (t=0) prompted with the GT-derived
-box (reference samples point/mask/box probabilistically, :146-268 — the box
-branch); no iterative correction clicks yet. Memory selection during
-training: all cond frames + up to (num_maskmem-1) previous frames at stride 1
-+ object pointers — exactly the training branch of
-sam2_base.py:_prepare_memory_conditioned_features.
+Fidelity design: everything the reference samples with its HOST numpy rng
+(which frames are initial cond frames, which frames receive correction
+clicks, point vs box vs mask input) is a host-sampled `PromptSchedule`
+here too — one compiled graph per distinct schedule, cached by jit.
+Everything the reference samples with torch ops on device (point
+coordinates, box noise, GT-vs-error correction source) is PRNG-key driven
+inside the graph, including the per-click Bernoulli(prob_to_sample_from_gt)
+choice (traced select, so it does not multiply compiled variants).
 """
 
 from __future__ import annotations
 
-from typing import Dict, List
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
@@ -55,8 +59,112 @@ def mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(any_pos[:, None], box, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# prompt schedule (the reference's host-rng decisions, prepare_prompt_inputs)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptSchedule:
+    """One training batch's prompt structure. Static under jit (each
+    distinct schedule compiles once; the compilation cache amortizes)."""
+
+    init_cond_frames: Tuple[int, ...] = (0,)
+    frames_to_correct: Tuple[int, ...] = ()
+    use_pt_input: bool = True
+    # per init-cond frame: box corners (True) or one sampled click (False)
+    use_box_per_frame: Tuple[bool, ...] = (True,)
+    num_correction_pt: int = 0
+    prob_to_sample_from_gt: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptSimConf:
+    """Train-side knobs of SAM2Train (reference training/model/sam2.py:31-56;
+    defaults = the MOSE finetune recipe,
+    sam2.1_hiera_b+_MOSE_finetune.yaml:181-193)."""
+
+    prob_to_use_pt_input: float = 0.5
+    prob_to_use_box_input: float = 0.5
+    num_frames_to_correct: int = 2
+    rand_frames_to_correct: bool = True
+    num_init_cond_frames: int = 2
+    rand_init_cond_frames: bool = True
+    num_correction_pt_per_frame: int = 7
+    prob_to_sample_from_gt: float = 0.1
+
+
+def sample_prompt_schedule(
+    rng: np.random.Generator, num_frames: int, conf: PromptSimConf
+) -> PromptSchedule:
+    """Host-rng sampling mirroring prepare_prompt_inputs
+    (/root/reference/training/model/sam2.py:146-268), including the
+    rng-call order so a seeded generator reproduces the reference's
+    choices."""
+    prob_pt = conf.prob_to_use_pt_input
+    num_frames_to_correct = conf.num_frames_to_correct
+    num_init_cond = conf.num_init_cond_frames
+    if num_frames == 1:
+        # static-image SAM task: force point input, single frame
+        prob_pt = 1.0
+        num_frames_to_correct = 1
+        num_init_cond = 1
+    use_pt_input = bool(rng.random() < prob_pt)
+    if conf.rand_init_cond_frames and num_init_cond > 1:
+        num_init_cond = int(rng.integers(1, num_init_cond, endpoint=True))
+    if (
+        use_pt_input
+        and conf.rand_frames_to_correct
+        and num_frames_to_correct > num_init_cond
+    ):
+        num_frames_to_correct = int(
+            rng.integers(num_init_cond, num_frames_to_correct, endpoint=True)
+        )
+
+    if num_init_cond == 1:
+        init_cond = [0]
+    else:
+        init_cond = [0] + rng.choice(
+            range(1, num_frames), num_init_cond - 1, replace=False
+        ).tolist()
+    rest = [t for t in range(num_frames) if t not in init_cond]
+
+    use_box_per_frame = tuple(
+        bool(rng.random() < conf.prob_to_use_box_input) if use_pt_input else False
+        for _ in init_cond
+    )
+
+    if not use_pt_input:
+        frames_to_correct: List[int] = []
+    elif num_frames_to_correct == num_init_cond:
+        frames_to_correct = list(init_cond)
+    else:
+        extra = num_frames_to_correct - num_init_cond
+        frames_to_correct = init_cond + rng.choice(
+            rest, extra, replace=False
+        ).tolist()
+
+    return PromptSchedule(
+        init_cond_frames=tuple(int(t) for t in init_cond),
+        frames_to_correct=tuple(int(t) for t in frames_to_correct),
+        use_pt_input=use_pt_input,
+        use_box_per_frame=use_box_per_frame,
+        num_correction_pt=(
+            conf.num_correction_pt_per_frame if use_pt_input else 0
+        ),
+        prob_to_sample_from_gt=conf.prob_to_sample_from_gt,
+    )
+
+
+# ---------------------------------------------------------------------------
+# in-graph memory assembly (training branch of
+# sam2_base.py:_prepare_memory_conditioned_features: stride 1, all cond
+# frames, no past-only pointer filter)
+# ---------------------------------------------------------------------------
+
+
 def _training_memory(model: SAM2Model, cfg: SAM2Config, t: int,
-                     cond_ts: List[int], mem_feats: Dict[int, jnp.ndarray],
+                     cond_ts: Sequence[int], mem_feats: Dict[int, jnp.ndarray],
                      mem_ptrs: Dict[int, jnp.ndarray], num_frames: int):
     """Assemble the memory sequence for training frame t (stride 1,
     forward order). Token counts are static per t."""
@@ -84,12 +192,15 @@ def _training_memory(model: SAM2Model, cfg: SAM2Config, t: int,
         axis=1,
     )
 
-    # object pointers from cond frames + previous frames (t_diff < 16)
+    # object pointers: ALL processed cond frames (training applies no
+    # past-only filter; distance is signed when use_signed_tpos, reference
+    # sam2_base.py:~565) + previous non-cond frames at t_diff < max_ptrs
     ptr_list, dist_list = [], []
     for ct in cond_ts:
-        if ct in mem_ptrs and ct <= t:
+        if ct in mem_ptrs and ct != t:
+            d = t - ct
             ptr_list.append(mem_ptrs[ct])
-            dist_list.append(t - ct)
+            dist_list.append(d if cfg.use_signed_tpos_enc_to_obj_ptrs else abs(d))
     max_ptrs = min(num_frames, cfg.max_obj_ptrs_in_encoder)
     for d in range(1, max_ptrs):
         pt = t - d
@@ -117,27 +228,53 @@ def _training_memory(model: SAM2Model, cfg: SAM2Config, t: int,
     return mem, pos, len(tiles), num_ptr_tokens
 
 
+# ---------------------------------------------------------------------------
+# training forward
+# ---------------------------------------------------------------------------
+
+
 def forward_training(
     model: SAM2Model,
     cfg: SAM2Config,
     images: jnp.ndarray,  # [T, B, H, W, 3]
-    gt_masks: jnp.ndarray,  # [T, B, H, W]
+    gt_masks: jnp.ndarray,  # [T, B, H, W] or [T, B, K, H, W]
     rng: jnp.ndarray = None,
-    prompt_kind: str = "box",  # 'box' | 'point' | 'mask' (host-sampled per
-    # step with the reference's prob_to_use_* probabilities)
+    schedule: Optional[PromptSchedule] = None,
+    # legacy single-knob interface (maps onto a schedule)
+    prompt_kind: str = "box",  # 'box' | 'point' | 'mask'
     num_correction_steps: int = 0,
     num_init_cond_frames: int = 1,
     box_noise: float = 0.1,
+    prompt_recorder: Optional[list] = None,  # eager-mode parity hook: gets
+    # {"t", "kind", "coords", "labels"} per sampled prompt/click
 ) -> List[Dict]:
-    """Run tracking over a training clip; returns per-frame output dicts
-    consumable by MultiStepMultiMasksAndIous.
+    """Run simulated-prompt tracking over a training clip; returns per-frame
+    output dicts (frame order) consumable by MultiStepMultiMasksAndIous.
 
-    Scope notes vs training/model/sam2.py: prompt kind and correction count
-    are per-step host choices (same marginal distribution as the reference's
-    in-batch sampling, one compiled graph per variant); corrections apply to
-    the init cond frames (the reference additionally samples random
-    mid-sequence frames to correct)."""
+    Mirrors forward_tracking (/root/reference/training/model/sam2.py:269-352):
+    initial cond frames are processed FIRST (so later frames attend all of
+    them), then the remaining frames in index order; frames in
+    `schedule.frames_to_correct` receive `num_correction_pt` iterative
+    clicks sampled from prediction errors (or from GT with a traced
+    Bernoulli(prob_to_sample_from_gt) choice), feeding back the previous
+    mask logits as a dense prompt (:448-520)."""
     sample_box_points, sample_random_points_from_errors = _lazy_samplers()
+    if schedule is None:
+        init_cond = tuple(range(num_init_cond_frames))
+        schedule = PromptSchedule(
+            init_cond_frames=init_cond,
+            frames_to_correct=(
+                init_cond
+                if num_correction_steps > 0 and prompt_kind != "mask"
+                else ()
+            ),
+            use_pt_input=prompt_kind != "mask",
+            use_box_per_frame=tuple(
+                prompt_kind == "box" for _ in init_cond
+            ),
+            num_correction_pt=num_correction_steps,
+        )
+
     t_total, b_videos = images.shape[0], images.shape[1]
     # multi-object clips: gt [T, B, K, H, W] -> K object tracks per video
     # share ONE image encode (the reference's flat_obj_to_img_idx indexing,
@@ -164,34 +301,62 @@ def forward_training(
 
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    cond_ts = list(range(num_init_cond_frames))
+    cond_ts = list(schedule.init_cond_frames)
+    correct_ts = set(schedule.frames_to_correct)
+    rest_ts = [t for t in range(t_total) if t not in cond_ts]
+    processing_order = cond_ts + rest_ts
+
     mem_feats: Dict[int, jnp.ndarray] = {}
     mem_ptrs: Dict[int, jnp.ndarray] = {}
-    outs: List[Dict] = []
+    outs_by_t: Dict[int, Dict] = {}
 
-    for t in range(t_total):
+    def sample_correction(key, gt, high_res):
+        """One correction click: from errors, or from GT with a traced
+        Bernoulli(prob_to_sample_from_gt) (reference :473-484)."""
+        k_src, k_pt_err, k_pt_gt = jax.random.split(key, 3)
+        pt_e, lb_e = sample_random_points_from_errors(
+            k_pt_err, gt, high_res[:, 0] > 0, num_pt=1
+        )
+        if schedule.prob_to_sample_from_gt > 0:
+            pt_g, lb_g = sample_random_points_from_errors(
+                k_pt_gt, gt, None, num_pt=1
+            )
+            from_gt = jax.random.bernoulli(
+                k_src, schedule.prob_to_sample_from_gt
+            )
+            pt = jnp.where(from_gt, pt_g, pt_e)
+            lb = jnp.where(from_gt, lb_g, lb_e)
+            return pt, lb
+        return pt_e, lb_e
+
+    for t in processing_order:
         f0, f1, ft = frame_feats(t)
         is_init = t in cond_ts
+        gt_t = gt_masks[t]
         multistep_hr, multistep_ious, multistep_logits = [], [], []
+
+        coords, labels, mask_input = None, None, None
         if is_init:
             pix = model.no_mem_features(ft)
-            rng, k_prompt = jax.random.split(rng)
-            if prompt_kind == "box":
-                coords, labels = sample_box_points(
-                    k_prompt, gt_masks[t], noise=box_noise
-                )
-                mask_input = None
-            elif prompt_kind == "point":
-                coords, labels = sample_random_points_from_errors(
-                    k_prompt, gt_masks[t], None, num_pt=1
-                )
-                mask_input = None
-            elif prompt_kind == "mask":
-                # GT mask as the dense prompt (prob_to_use_mask_input path)
-                coords, labels = None, None
-                mask_input = gt_masks[t].astype(jnp.float32)[..., None]
+            if not schedule.use_pt_input:
+                # GT mask as the dense prompt on every init cond frame
+                mask_input = gt_t.astype(jnp.float32)[..., None]
             else:
-                raise ValueError(f"unknown prompt_kind {prompt_kind}")
+                rng, k_prompt = jax.random.split(rng)
+                if schedule.use_box_per_frame[cond_ts.index(t)]:
+                    coords, labels = sample_box_points(
+                        k_prompt, gt_t, noise=box_noise
+                    )
+                else:
+                    # one initial click from GT (get_next_point 'uniform')
+                    coords, labels = sample_random_points_from_errors(
+                        k_prompt, gt_t, None, num_pt=1
+                    )
+                if prompt_recorder is not None:
+                    prompt_recorder.append(
+                        {"t": t, "kind": "init", "coords": coords,
+                         "labels": labels}
+                    )
         else:
             mem, pos, n_tiles, n_ptr = _training_memory(
                 model, cfg, t, cond_ts, mem_feats, mem_ptrs, t_total
@@ -201,7 +366,6 @@ def forward_training(
                 ft, mem, pos, valid,
                 num_mem_frames=n_tiles, num_obj_ptr_tokens=n_ptr,
             )
-            coords, labels, mask_input = None, None, None
 
         num_pts = 0 if labels is None else labels.shape[1]
         multimask = use_multimask(cfg, is_init=is_init, num_pts=num_pts)
@@ -218,29 +382,33 @@ def forward_training(
         multistep_ious.append(ious)
         multistep_logits.append(obj_logits)
 
-        # iterative correction clicks on prompted frames
-        # (SAM2Train._iter_correct_pt_sampling, training/model/sam2.py:448)
-        if is_init and num_correction_steps > 0 and prompt_kind != "mask":
+        # iterative correction clicks (reference _iter_correct_pt_sampling,
+        # :448-520): previous low-res logits fed back as the dense prompt,
+        # clicks accumulate, every step supervised
+        if t in correct_ts and schedule.num_correction_pt > 0:
             acc_coords, acc_labels = coords, labels
-            for _ in range(num_correction_steps):
+            for _ in range(schedule.num_correction_pt):
                 rng, k_corr = jax.random.split(rng)
-                pred_bin = high_res[:, 0] > 0
-                new_pt, new_lb = sample_random_points_from_errors(
-                    k_corr, gt_masks[t], pred_bin, num_pt=1
-                )
-                acc_coords = jnp.concatenate([acc_coords, new_pt], axis=1)
-                acc_labels = jnp.concatenate([acc_labels, new_lb], axis=1)
+                new_pt, new_lb = sample_correction(k_corr, gt_t, high_res)
+                if prompt_recorder is not None:
+                    prompt_recorder.append(
+                        {"t": t, "kind": "correction", "coords": new_pt,
+                         "labels": new_lb}
+                    )
+                if acc_coords is None:
+                    acc_coords, acc_labels = new_pt, new_lb
+                else:
+                    acc_coords = jnp.concatenate([acc_coords, new_pt], axis=1)
+                    acc_labels = jnp.concatenate([acc_labels, new_lb], axis=1)
                 multimask = use_multimask(
-                    cfg, is_init=True, num_pts=acc_labels.shape[1]
+                    cfg, is_init=is_init, num_pts=acc_labels.shape[1]
                 )
                 (multimasks, multimasks_hr, ious, low_res, high_res,
                  obj_ptr, obj_logits) = model.forward_sam_heads(
                     pix,
                     point_coords=acc_coords,
                     point_labels=acc_labels,
-                    mask_inputs=jnp.clip(low_res, -32.0, 32.0)[
-                        :, 0, :, :, None
-                    ],
+                    mask_inputs=low_res[:, 0, :, :, None],
                     high_res_features=[f0, f1],
                     multimask_output=multimask,
                 )
@@ -253,12 +421,10 @@ def forward_training(
         )
         mem_feats[t] = maskmem.reshape(b, -1, cfg.mem_dim)
         mem_ptrs[t] = obj_ptr
-        outs.append(
-            {
-                "multistep_pred_multimasks_high_res": multistep_hr,
-                "multistep_pred_ious": multistep_ious,
-                "multistep_object_score_logits": multistep_logits,
-                "pred_masks_high_res": high_res,
-            }
-        )
-    return outs
+        outs_by_t[t] = {
+            "multistep_pred_multimasks_high_res": multistep_hr,
+            "multistep_pred_ious": multistep_ious,
+            "multistep_object_score_logits": multistep_logits,
+            "pred_masks_high_res": high_res,
+        }
+    return [outs_by_t[t] for t in range(t_total)]

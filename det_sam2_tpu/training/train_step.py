@@ -25,7 +25,7 @@ from det_sam2_tpu.training.loss_fns import (
     DEFAULT_WEIGHTS,
     MultiStepMultiMasksAndIous,
 )
-from det_sam2_tpu.training.sam2_train import forward_training
+from det_sam2_tpu.training.sam2_train import PromptSchedule, forward_training
 
 
 @dataclasses.dataclass
@@ -41,34 +41,115 @@ class OptimConf:
     total_steps: int = 10_000
     b1: float = 0.9
     b2: float = 0.999
+    # trunk-block learning-rate decay (reference
+    # training/optimizer.py:422 layer_decay_param_modifier, value 0.9 in the
+    # MOSE recipe). None disables; requires make_optimizer(params=, cfg=).
+    layer_decay: Optional[float] = None
+    # reference lr schedule is cosine base_lr -> base_lr * end_ratio
+    # (CosineParamScheduler start/end, yaml :259-267)
+    cosine_end_ratio: float = 0.1
 
 
-def make_optimizer(conf: OptimConf) -> optax.GradientTransformation:
+def _wd_mask(params):
+    # no weight decay on biases / norms (training/optimizer.py param
+    # group rules: '*bias*' wd=0, LayerNorm wd=0)
+    def leaf(path, x):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        return name not in ("bias", "scale", "gamma") and x.ndim > 1
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def lr_scale_tree(params, cfg: SAM2Config, conf: OptimConf):
+    """Per-leaf lr multipliers (relative to base_lr) replicating the
+    reference's param groups:
+      * image_encoder.* params train at vision_lr (yaml options.lr
+        param_names block, :262-268);
+      * trunk blocks additionally decay by layer_decay**(depth - i)
+        (hieradet.get_layer_id: blocks.i -> i+1, patch_embed -> 0,
+        pos_embed -> 0 but overridden to scale 1.0 by the '*pos_embed*'
+        pattern in the MOSE yaml :249-254; everything else in the trunk ->
+        scale 1.0).
+    Weight decay scales with the group lr exactly as torch AdamW does."""
+    depth = cfg.hiera.depth
+    vision_ratio = conf.vision_lr / conf.base_lr
+    decay = conf.layer_decay
+
+    def leaf(path, x):
+        keys = [p.key if hasattr(p, "key") else str(p) for p in path]
+        scale = 1.0
+        if keys and keys[0] == "image_encoder":
+            scale *= vision_ratio
+            if decay and decay != 1.0 and len(keys) >= 2 and keys[1] == "trunk":
+                name = ".".join(keys)
+                if "pos_embed" in name:
+                    pass  # override '*pos_embed*' -> 1.0
+                elif "patch_embed" in name:
+                    scale *= decay ** (depth + 1)
+                else:
+                    block = next(
+                        (k for k in keys if k.startswith("blocks_")), None
+                    )
+                    if block is not None:
+                        i = int(block.split("_")[1])
+                        scale *= decay ** (depth - i)
+        return jnp.asarray(scale, jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(leaf, params)
+
+
+def make_optimizer(
+    conf: OptimConf,
+    params=None,
+    cfg: Optional[SAM2Config] = None,
+) -> optax.GradientTransformation:
     schedule = optax.warmup_cosine_decay_schedule(
-        init_value=0.0,
+        init_value=0.0 if conf.warmup_steps else conf.base_lr,
         peak_value=conf.base_lr,
         warmup_steps=conf.warmup_steps,
         decay_steps=max(conf.total_steps, conf.warmup_steps + 1),
+        end_value=conf.base_lr * conf.cosine_end_ratio,
     )
 
-    def wd_mask(params):
-        # no weight decay on biases / norms (training/optimizer.py param
-        # group rules: '*bias*' wd=0, LayerNorm wd=0)
-        def leaf(path, x):
-            name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
-            return name not in ("bias", "scale", "gamma") and x.ndim > 1
+    use_groups = (
+        params is not None
+        and cfg is not None
+        and (conf.layer_decay is not None or conf.vision_lr != conf.base_lr)
+    )
+    if not use_groups:
+        return optax.chain(
+            optax.clip_by_global_norm(conf.grad_clip_norm),
+            optax.adamw(
+                learning_rate=schedule,
+                b1=conf.b1,
+                b2=conf.b2,
+                weight_decay=conf.weight_decay,
+                mask=_wd_mask,
+            ),
+        )
 
-        return jax.tree_util.tree_map_with_path(leaf, params)
+    scales = lr_scale_tree(params, cfg, conf)
 
+    def per_leaf_lr() -> optax.GradientTransformation:
+        def init_fn(params_):
+            return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+        def update_fn(updates, state, params_=None):
+            lr = schedule(state.count)
+            updates = jax.tree_util.tree_map(
+                lambda u, s: -lr * s * u, updates, scales
+            )
+            return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+        return optax.GradientTransformation(init_fn, update_fn)
+
+    # equivalent to per-group torch AdamW: decoupled wd is added BEFORE the
+    # group lr multiplies the whole update (torch: p -= lr*(adam + wd*p))
     return optax.chain(
         optax.clip_by_global_norm(conf.grad_clip_norm),
-        optax.adamw(
-            learning_rate=schedule,
-            b1=conf.b1,
-            b2=conf.b2,
-            weight_decay=conf.weight_decay,
-            mask=wd_mask,
-        ),
+        optax.scale_by_adam(b1=conf.b1, b2=conf.b2),
+        optax.add_decayed_weights(conf.weight_decay, mask=_wd_mask),
+        per_leaf_lr(),
     )
 
 
@@ -80,21 +161,20 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     prompt_kind: str = "box",
     num_correction_steps: int = 0,
+    schedule: Optional[PromptSchedule] = None,
 ) -> Callable:
     """Returns train_step(params, opt_state, images [T,B,H,W,3],
     gt_masks [T,B,H,W], rng) -> (params, opt_state, metrics). When a mesh
     is given, the batch axis (axis 1) is data-parallel.
 
-    Gradients flow through XLA attention (the Pallas inference kernels have
-    no VJP), so the model is rebuilt here with the sdpa attention_fn —
-    parameter structure is unchanged."""
+    Training runs the same attention path as inference: the Pallas flash
+    kernel has a custom VJP (ops/attention.py flash backward), so large
+    attention problems train through it; small ones fall back to sdpa."""
     import dataclasses as _dc
-
-    from det_sam2_tpu.modeling.layers import sdpa
 
     model = SAM2Model(
         cfg=_dc.replace(cfg, remat_image_encoder=True),
-        attention_fn=sdpa,
+        attention_fn=model.attention_fn,
         dtype=model.dtype,
     )
     if loss_fn is None:
@@ -114,6 +194,7 @@ def make_train_step(
             rng,
             method=lambda m, c, i, g, r: forward_training(
                 m, c, i, g, rng=r,
+                schedule=schedule,
                 prompt_kind=prompt_kind,
                 num_correction_steps=num_correction_steps,
             ),

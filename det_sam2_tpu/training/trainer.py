@@ -28,6 +28,11 @@ from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.parallel.mesh import make_mesh, shard_batch
 from det_sam2_tpu.track import SAM2Engine
 from det_sam2_tpu.training.loss_fns import CORE_LOSS_KEY
+from det_sam2_tpu.training.sam2_train import (
+    PromptSchedule,
+    PromptSimConf,
+    sample_prompt_schedule,
+)
 from det_sam2_tpu.training.train_step import (
     OptimConf,
     make_optimizer,
@@ -45,10 +50,18 @@ class TrainerConf:
     checkpoint_every_epochs: int = 1
     checkpoint_dir: Optional[str] = None
     prompt_kind_probs: dict = dataclasses.field(
-        # reference prob_to_use_pt_input / prob_to_use_box_input semantics
+        # legacy single-knob mode (one prompt kind per step, corrections on
+        # init frames only); superseded by prompt_sim below
         default_factory=lambda: {"box": 0.5, "point": 0.3, "mask": 0.2}
     )
     num_correction_steps: int = 2
+    # full reference prompt simulation (SAM2Train prepare_prompt_inputs):
+    # random 1..N init cond frames, mid-sequence frames-to-correct, per-frame
+    # box/point choice, 7 correction clicks, GT-sampling prob. When set,
+    # prompt_kind_probs is ignored. Each distinct sampled schedule compiles
+    # once (cached; the persistent compilation cache amortizes across runs).
+    prompt_sim: Optional["PromptSimConf"] = None
+    clip_length: int = 8  # frames per clip (schedules are sampled per step)
     seed: int = 0
 
 
@@ -86,16 +99,19 @@ class Trainer:
         self.optim_conf = optim_conf or OptimConf()
         self.conf = trainer_conf or TrainerConf()
         self.mesh = mesh if mesh is not None else make_mesh()
-        self.optimizer = make_optimizer(self.optim_conf)
+        self.optimizer = make_optimizer(
+            self.optim_conf, params=engine.params, cfg=cfg
+        )
         self._steps = {}
-        for kind in self.conf.prompt_kind_probs:
-            self._steps[kind] = make_train_step(
-                cfg, engine.model, self.optimizer, mesh=self.mesh,
-                prompt_kind=kind,
-                num_correction_steps=(
-                    self.conf.num_correction_steps if kind != "mask" else 0
-                ),
-            )
+        if self.conf.prompt_sim is None:
+            for kind in self.conf.prompt_kind_probs:
+                self._steps[kind] = make_train_step(
+                    cfg, engine.model, self.optimizer, mesh=self.mesh,
+                    prompt_kind=kind,
+                    num_correction_steps=(
+                        self.conf.num_correction_steps if kind != "mask" else 0
+                    ),
+                )
         self.params = engine.params
         self.opt_state = self.optimizer.init(self.params)
         self.global_step = 0
@@ -171,6 +187,15 @@ class Trainer:
             for k, v in scalars.items():
                 if isinstance(v, (int, float)):
                     self._tb.add_scalar(k, v, self.global_step)
+
+    def _step_for_schedule(self, schedule: PromptSchedule):
+        """Lazily build (and cache) a train step for one prompt schedule."""
+        if schedule not in self._steps:
+            self._steps[schedule] = make_train_step(
+                self.cfg, self.engine.model, self.optimizer, mesh=self.mesh,
+                schedule=schedule,
+            )
+        return self._steps[schedule]
 
     def _pick_prompt_kind(self, rng: np.random.Generator) -> str:
         kinds = list(self.conf.prompt_kind_probs)
@@ -261,14 +286,26 @@ class Trainer:
             for i, (images, gt) in enumerate(
                 data_loader.batches(self.conf.steps_per_epoch)
             ):
-                kind = self._pick_prompt_kind(rng)
+                if self.conf.prompt_sim is not None:
+                    schedule = sample_prompt_schedule(
+                        rng, int(images.shape[0]), self.conf.prompt_sim
+                    )
+                    step_fn = self._step_for_schedule(schedule)
+                    kind = (
+                        "pt" if schedule.use_pt_input else "mask"
+                    ) + f"/cond{len(schedule.init_cond_frames)}" + (
+                        f"/corr{len(schedule.frames_to_correct)}"
+                    )
+                else:
+                    kind = self._pick_prompt_kind(rng)
+                    step_fn = self._steps[kind]
                 images, gt = shard_batch(
                     self.mesh, (jnp.asarray(images), jnp.asarray(gt)), axis=1
                 )
                 key = jax.random.PRNGKey(
                     self.conf.seed * 100003 + self.global_step
                 )
-                self.params, self.opt_state, metrics = self._steps[kind](
+                self.params, self.opt_state, metrics = step_fn(
                     self.params, self.opt_state, images, gt, key
                 )
                 loss = float(metrics[CORE_LOSS_KEY])

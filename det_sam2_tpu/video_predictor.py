@@ -678,14 +678,17 @@ class SAM2VideoPredictor:
             and all(_skip(fi) or fi in session.frames for fi in order)
         )
         if fast_ok:
+            # upload ONLY the frames that will run; skipped frames map to a
+            # dummy row (index 0) and transfer no bytes
             shape = (self.image_size, self.image_size, 3)
-            zeros = np.zeros(shape, np.uint8)
-            images = np.stack(
-                [
-                    session.frames.get(fi, zeros) if not _skip(fi) else zeros
-                    for fi in order
-                ]
+            run_frames = [fi for fi in order if not _skip(fi)]
+            images = (
+                np.stack([session.frames[fi] for fi in run_frames])
+                if run_frames
+                else np.zeros((0, *shape), np.uint8)
             )
+            pos = {fi: i for i, fi in enumerate(run_frames)}
+            img_idx = np.asarray([pos.get(fi, 0) for fi in order], np.int32)
             skips = np.asarray([_skip(fi) for fi in order], bool)
             session._feat_cache = None
             session.bank, (masks_t, ptrs_t, scores_t) = (
@@ -693,6 +696,7 @@ class SAM2VideoPredictor:
                     images, session.bank, np.asarray(order, np.int32), skips,
                     session.num_frames, reverse=reverse,
                     obj_valid=self._active_mask(session),
+                    img_idx=img_idx,
                 )
             )
             masks_t = np.asarray(masks_t, np.float32)
@@ -827,6 +831,8 @@ class SAM2VideoPredictor:
         }
         for t in [t for t in session._empty_ptr if _in_range(t)]:
             session._empty_ptr.pop(t, None)
+        for t in [t for t in session.frames_already_tracked if _in_range(t)]:
+            session.frames_already_tracked.pop(t, None)
         if session.bank is not None:
             session.bank = bank_ops.release_frames(
                 session.bank, jnp.int32(oldest_allowed + 1)

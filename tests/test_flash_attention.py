@@ -1,5 +1,6 @@
 """Flash attention kernel vs the XLA sdpa reference (interpret mode on CPU)."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -71,3 +72,64 @@ def test_small_problems_fall_back():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(sdpa(q, q, q)), atol=1e-6
     )
+
+
+def _grad_pair(fn_flash, fn_ref, args):
+    def loss_of(fn):
+        def f(*a):
+            out = fn(*a)
+            w = jnp.arange(out.size, dtype=out.dtype).reshape(out.shape)
+            return jnp.sum(out * jnp.sin(w * 0.01))
+
+        return f
+
+    g_flash = jax.grad(loss_of(fn_flash), argnums=(0, 1, 2))(*args)
+    g_ref = jax.grad(loss_of(fn_ref), argnums=(0, 1, 2))(*args)
+    return g_flash, g_ref
+
+
+def test_flash_grad_matches_sdpa():
+    b, h, nq, nk, d = 1, 2, 256, 384, 64
+    q = _rand((b, h, nq, d), 0)
+    k = _rand((b, h, nk, d), 1)
+    v = _rand((b, h, nk, d), 2)
+
+    def fl(q, k, v):
+        return flash_attention(q, k, v, block_q=128, block_k=128, min_flops=0)
+
+    g_flash, g_ref = _grad_pair(fl, sdpa, (q, k, v))
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_flash_grad_with_masked_tiles():
+    """Backward must skip fully-masked KV tiles and produce zero grads for
+    their keys/values, matching sdpa with the same bias."""
+    b, h, nq, nk, d = 1, 1, 256, 512, 64
+    q = _rand((b, h, nq, d), 3)
+    k = _rand((b, h, nk, d), 4)
+    v = _rand((b, h, nk, d), 5)
+    mask = np.zeros((b, 1, 1, nk), np.float32)
+    mask[..., 128:256] = -1e30  # one dead tile at block_k=128
+    mask[..., 400:] = -1e30  # partial masking in a live tile
+    bias = jnp.asarray(mask)
+
+    def fl(q, k, v):
+        return flash_attention(q, k, v, bias=bias, block_q=128, block_k=128,
+                               min_flops=0)
+
+    def ref(q, k, v):
+        return sdpa(q, k, v, bias=bias)
+
+    g_flash, g_ref = _grad_pair(fl, ref, (q, k, v))
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(gf), np.asarray(gr), rtol=2e-4, atol=2e-4,
+            err_msg=f"d{name}",
+        )
+    # masked keys get exactly zero gradient
+    np.testing.assert_allclose(np.asarray(g_flash[1])[..., 128:256, :], 0.0)
+    np.testing.assert_allclose(np.asarray(g_flash[2])[..., 400:, :], 0.0)

@@ -150,3 +150,36 @@ def test_many_cond_frames_beyond_old_default():
     # tracking continues onto unprompted frames with finite outputs
     for fidx in (10, 11):
         assert np.isfinite(outs[fidx]).all()
+
+
+@pytest.mark.slow
+def test_fast_path_uploads_only_run_frames():
+    """Skipped (prompted/consolidated) frames must not upload image bytes:
+    the fast path passes a compact image stack + per-step index map."""
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    vp = SAM2VideoPredictor(engine)
+    frames = _frames(10)
+    session = vp.init_state(frames)
+    vp.add_new_points_or_box(session, 0, 1, box=np.array([8.0, 18.0, 44.0, 52.0]))
+
+    seen = {}
+    orig = engine.propagate_window
+
+    def spy(images, *a, **kw):
+        seen["n_images"] = np.asarray(images).shape[0]
+        seen["img_idx"] = np.asarray(kw.get("img_idx"))
+        return orig(images, *a, **kw)
+
+    engine.propagate_window = spy
+    try:
+        outs = dict()
+        for fidx, _, masks in vp.propagate_in_video(session, 0):
+            outs[fidx] = masks
+    finally:
+        engine.propagate_window = orig
+
+    # frame 0 is a cond (skip) frame: 9 run frames for a 10-frame window
+    assert seen["n_images"] == 9
+    assert seen["img_idx"].shape == (10,)
+    assert len(outs) == 10 and all(np.isfinite(m).all() for m in outs.values())

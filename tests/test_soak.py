@@ -1,0 +1,88 @@
+"""Long-stream soak: flat memory across thousands of frames (the
+BASELINE.md "flat HBM across 10k+-frame videos" claim as an executable
+test). Default 2000 frames to stay CI-friendly on the 1-core CPU mesh;
+set SOAK_FRAMES=10000 for the full run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from det_sam2_tpu.app.detector import CallableDetector
+from det_sam2_tpu.app.video_processor import VideoProcessor
+from det_sam2_tpu.configs import tiny_test_config
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.utils.profiling import host_memory_stats, session_size_report
+from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+H, W = 96, 128
+N_FRAMES = int(os.environ.get("SOAK_FRAMES", "2000"))
+
+
+def _frame(t):
+    f = np.full((H, W, 3), 30, np.uint8)
+    x = 8 + (3 * t) % (W - 40)
+    f[20:50, x : x + 24] = (200, 30, 30)
+    return f
+
+
+def _box(t):
+    x = 8 + (3 * t) % (W - 40)
+    return (x, 20, x + 24, 50)
+
+
+@pytest.mark.slow
+def test_soak_flat_memory():
+    engine = SAM2Engine(tiny_test_config())
+    predictor = SAM2VideoPredictor(engine)
+    proc = VideoProcessor(
+        predictor=predictor,
+        detector=CallableDetector(lambda frame, idx: [(*_box(idx), 5, 0.99)]),
+        skip_classes=set(),
+        frame_buffer_size=8,
+        detect_interval=8,
+        max_frame_num_to_track=16,
+        max_inference_state_frames=16,
+    )
+
+    checkpoints = []  # (t, session_bytes, host_rss, store sizes)
+
+    def snapshot(t):
+        s = proc.session
+        rep = session_size_report(s)
+        checkpoints.append(
+            {
+                "t": t,
+                "session_mb": sum(
+                    v for k, v in rep.items() if k.endswith("_mib")
+                ),
+                "rss_gib": host_memory_stats().get("rss_gib", 0.0),
+                "frames": len(s.frames),
+                "noncond": len(s.noncond_outputs),
+                "cond": len(s.cond_outputs),
+                "empty_ptr": len(s._empty_ptr),
+                "tracked": len(s.frames_already_tracked),
+            }
+        )
+
+    warmup = max(N_FRAMES // 10, 200)
+    for t in range(N_FRAMES):
+        proc.process_frame(t, _frame(t))
+        if t == warmup or (t > warmup and t % (N_FRAMES // 5) == 0):
+            snapshot(t)
+    snapshot(N_FRAMES - 1)
+
+    base = checkpoints[0]
+    for c in checkpoints[1:]:
+        # host-side session stores stay bounded
+        assert c["frames"] <= base["frames"] + 32, c
+        assert c["noncond"] <= base["noncond"] + 32, c
+        assert c["cond"] <= base["cond"] + 8, c
+        assert c["empty_ptr"] <= 64, c
+        assert c["session_mb"] <= base["session_mb"] * 1.10 + 8.0, c
+        # frames_already_tracked is the one store the reference also grows;
+        # ours must stay bounded via release_old_frames
+        assert c["tracked"] <= 4 * proc.max_inference_state_frames + 64, c
+    # device bank is static by construction
+    s = proc.session
+    assert s.bank.cond_mem.shape[0] == s.cfg.cond_bank_size
