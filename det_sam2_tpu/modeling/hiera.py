@@ -6,8 +6,9 @@ backbones/utils.py (window_partition :16, window_unpartition :42, PatchEmbed
 :66), re-designed for JAX/XLA:
 
   * NHWC end to end (TPU conv layout); no permutes around convs/pools;
-  * windowed attention is one big batched attention over [B*num_windows,
-    ws*ws, C] — static shapes, MXU-tiled, flash-kernel-swappable;
+  * windowed attention stacks windows in the batch axis — static shapes,
+    and on TPU a Pallas kernel (ops/window_attention.py) runs many
+    windows x heads per grid cell with VMEM-resident softmax;
   * the bicubic interpolation of the background positional embedding is a
     precomputed dense-matrix resize (utils/resize.py), numerically matching
     torch's bicubic align_corners=False (a = -0.75);
@@ -82,34 +83,57 @@ class PatchEmbed(nn.Module):
 
 class MultiScaleAttention(nn.Module):
     """Windowed/global attention with optional 2x query pooling
-    (hieradet.py:40-84)."""
+    (hieradet.py:40-84).
+
+    `window_attention_fn`, when set, consumes the fused qkv projection
+    directly (signature fn(qkv_flat [B, N, 3*H*D], num_heads, q_pooled))
+    — the Pallas kernel in ops/window_attention.py re-lays q/k/v with ONE
+    transposition and keeps scores/softmax in VMEM. `attention_fn` remains
+    the path for global blocks and non-TPU backends."""
 
     dim_out: int
     num_heads: int
     q_pool: bool = False
     attention_fn: Callable = sdpa
+    window_attention_fn: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):  # x: [B, H, W, C] (windows stacked in B)
         b, h, w, _ = x.shape
         qkv = nn.Dense(self.dim_out * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-
+        head_dim = self.dim_out // self.num_heads
         oh, ow = h, w
-        if self.q_pool:
-            q = q.reshape(b, h, w, -1)
-            q = _max_pool_2x(q)
-            oh, ow = q.shape[1], q.shape[2]
-            q = q.reshape(b, oh * ow, self.num_heads, -1)
 
-        # [B, N, heads, D] -> [B, heads, N, D]
-        q = q.transpose(0, 2, 1, 3)
-        k = k.transpose(0, 2, 1, 3)
-        v = v.transpose(0, 2, 1, 3)
-        o = self.attention_fn(q, k, v)
-        o = o.transpose(0, 2, 1, 3).reshape(b, oh, ow, -1)
+        if self.window_attention_fn is not None and b > 1:
+            qkv_flat = qkv.reshape(b, h * w, -1)
+            q_pooled = None
+            if self.q_pool:
+                q = qkv_flat.reshape(
+                    b, h * w, 3, self.num_heads, head_dim
+                )[:, :, 0]
+                q = q.reshape(b, h, w, -1)
+                q = _max_pool_2x(q)
+                oh, ow = q.shape[1], q.shape[2]
+                q_pooled = q.reshape(b, oh * ow, self.num_heads, head_dim)
+            o = self.window_attention_fn(
+                qkv_flat, self.num_heads, q_pooled
+            )  # [B, Nq, heads, D]
+            o = o.reshape(b, oh, ow, -1)
+        else:
+            qkv = qkv.reshape(b, h * w, 3, self.num_heads, -1)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            if self.q_pool:
+                q = q.reshape(b, h, w, -1)
+                q = _max_pool_2x(q)
+                oh, ow = q.shape[1], q.shape[2]
+                q = q.reshape(b, oh * ow, self.num_heads, -1)
+            # [B, N, heads, D] -> [B, heads, N, D]
+            q = q.transpose(0, 2, 1, 3)
+            k = k.transpose(0, 2, 1, 3)
+            v = v.transpose(0, 2, 1, 3)
+            o = self.attention_fn(q, k, v)
+            o = o.transpose(0, 2, 1, 3).reshape(b, oh, ow, -1)
         return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
 
 
@@ -124,6 +148,7 @@ class MultiScaleBlock(nn.Module):
     q_stride: Optional[Tuple[int, int]] = None
     mlp_ratio: float = 4.0
     attention_fn: Callable = sdpa
+    window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
@@ -146,6 +171,7 @@ class MultiScaleBlock(nn.Module):
             num_heads=self.num_heads,
             q_pool=self.q_stride is not None,
             attention_fn=self.attention_fn,
+            window_attention_fn=self.window_attention_fn,
             dtype=self.dtype,
             name="attn",
         )(x)
@@ -179,6 +205,7 @@ class Hiera(nn.Module):
 
     cfg: HieraConfig
     attention_fn: Callable = sdpa
+    window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
@@ -241,6 +268,7 @@ class Hiera(nn.Module):
                 q_stride=c.q_stride if i in q_pool_blocks else None,
                 mlp_ratio=c.mlp_ratio,
                 attention_fn=self.attention_fn,
+                window_attention_fn=self.window_attention_fn,
                 gelu=self.gelu,
                 dtype=self.dtype,
                 name=f"blocks_{i}",

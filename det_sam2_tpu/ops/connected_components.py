@@ -136,35 +136,21 @@ def fill_holes_and_sprinkles_np(
 
 
 def _propagate_once(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
-    """One 8-neighbor min-propagation step. labels [..., H, W] int32 with
-    a large sentinel on background."""
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
-
-    def shift(x, dy, dx):
-        return jnp.roll(x, (dy, dx), axis=(-2, -1))
-
-    out = labels
-    h, w = labels.shape[-2], labels.shape[-1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    for dy in (-1, 0, 1):
-        for dx in (-1, 0, 1):
-            if dy == 0 and dx == 0:
-                continue
-            nb = shift(labels, dy, dx)
-            # mask off wrap-around rows/cols from jnp.roll
-            valid = jnp.ones((h, w), bool)
-            if dy == 1:
-                valid &= row >= 1
-            elif dy == -1:
-                valid &= row < h - 1
-            if dx == 1:
-                valid &= col >= 1
-            elif dx == -1:
-                valid &= col < w - 1
-            nb = jnp.where(valid, nb, big)
-            out = jnp.minimum(out, nb)
-    return jnp.where(fg, out, big)
+    """One 8-neighbor min-propagation step: a single 3x3 min-pool (the
+    center is included, which is a no-op since labels only decrease).
+    Out-of-bounds neighbors contribute the int32-max identity via padding.
+    labels [..., H, W] int32 with a large sentinel on background."""
+    big = np.iinfo(np.int32).max
+    lead = labels.ndim - 2
+    out = jax.lax.reduce_window(
+        labels,
+        jnp.asarray(big, jnp.int32),
+        jax.lax.min,
+        window_dimensions=(1,) * lead + (3, 3),
+        window_strides=(1,) * labels.ndim,
+        padding=((0, 0),) * lead + ((1, 1), (1, 1)),
+    )
+    return jnp.where(fg, out, jnp.asarray(big, jnp.int32))
 
 
 def connected_components_jax(

@@ -22,6 +22,7 @@ import numpy as np
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.layers import sdpa
 from det_sam2_tpu.ops.attention import flash_attention
+from det_sam2_tpu.ops.window_attention import packed_window_attention
 from det_sam2_tpu.ops.connected_components import fill_holes_in_mask_scores_jax
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
@@ -139,15 +140,28 @@ class SAM2Engine:
         attention_fn=None,
         seed: int = 0,
     ):
+        window_attention_fn = None
         if attention_fn is None:
             # Pallas flash kernel on TPU (falls back internally for small
-            # problems); plain XLA sdpa elsewhere
-            attention_fn = (
-                flash_attention if jax.default_backend() == "tpu" else sdpa
-            )
+            # problems); plain XLA sdpa elsewhere. NOTE: the Pallas
+            # multi-window trunk kernel (ops/window_attention.py) was
+            # measured SLOWER than XLA's batched window path on v5e (25-31
+            # vs 18 ms hiera-L encoder — many small grid cells, lane-pad
+            # waste at head_dim 72), so it is NOT selected by default;
+            # pass window_attention_fn=packed_window_attention explicitly
+            # to experiment.
+            if jax.default_backend() == "tpu":
+                attention_fn = flash_attention
+            else:
+                attention_fn = sdpa
         self.cfg = cfg
         self.dtype = dtype
-        self.model = SAM2Model(cfg=cfg, attention_fn=attention_fn, dtype=dtype)
+        self.model = SAM2Model(
+            cfg=cfg,
+            attention_fn=attention_fn,
+            window_attention_fn=window_attention_fn,
+            dtype=dtype,
+        )
         if params is None:
             params = self._init_params(seed)
         self.params = params
@@ -633,14 +647,16 @@ class SAM2Engine:
         t = len(frame_indices)
         if img_idx is None:
             img_idx = np.arange(t, dtype=np.int32)
-        images = np.asarray(images)
-        # bucket the upload length so skip-count variation between windows
-        # reuses compiled graphs
-        n = images.shape[0]
-        n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
-        if n < n_bucket:
-            pad = np.zeros((n_bucket - n, *images.shape[1:]), images.dtype)
-            images = np.concatenate([images, pad])
+        # device-resident frames pass through untouched (no download/upload
+        # round-trip); host arrays are bucketed so skip-count variation
+        # between windows reuses compiled graphs
+        if not isinstance(images, jax.Array):
+            images = np.asarray(images)
+            n = images.shape[0]
+            n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
+            if n < n_bucket:
+                pad = np.zeros((n_bucket - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad])
         if obj_valid is None:
             obj_valid = np.ones((bank.num_objects,), bool)
         return self._propagate_window_fn(t, images.shape[0], bool(reverse))(

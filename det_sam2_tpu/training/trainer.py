@@ -276,6 +276,61 @@ class Trainer:
         self._log_scalars({"step": self.global_step, **out})
         return out
 
+    def validate_jf(self, videos, max_frame_num_to_track=None) -> dict:
+        """End-to-end video-tracking validation: J&F on held-out clips.
+
+        The reference validates with the standalone vos_inference +
+        sav_benchmark pipeline (sav_dataset/utils/sav_benchmark.py); here
+        that protocol is a trainer hook. Each clip is tracked with the
+        CURRENT params through the full video predictor (first-appearance
+        mask prompts, semi-supervised VOS protocol) and scored with
+        tools/sav_benchmark.evaluate_videos.
+
+        videos: iterable of (frames, gt_per_obj) where frames is
+        [T, H, W, 3] uint8 and gt_per_obj maps obj_id -> [T, H, W] bool.
+        Returns {"val_J", "val_F", "val_JF"}.
+        """
+        from det_sam2_tpu.tools.sav_benchmark import evaluate_videos
+        from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+        old_params = self.engine.params
+        self.engine.params = self.params
+        try:
+            predictor = SAM2VideoPredictor(self.engine)
+            results = {}
+            for vid, (frames, gt_per_obj) in enumerate(videos):
+                session = predictor.init_state(list(np.asarray(frames)))
+                for obj_id, gt in sorted(gt_per_obj.items()):
+                    first = next(
+                        (t for t in range(len(gt)) if np.any(gt[t])), 0
+                    )
+                    predictor.add_new_mask(session, first, obj_id, gt[first])
+                preds = {
+                    obj_id: [np.zeros(g[0].shape, bool) for _ in g]
+                    for obj_id, g in gt_per_obj.items()
+                }
+                for frame_idx, obj_ids, masks in predictor.propagate_in_video(
+                    session, max_frame_num_to_track=max_frame_num_to_track
+                ):
+                    for i, obj_id in enumerate(obj_ids):
+                        if obj_id in preds:
+                            preds[obj_id][frame_idx] = (
+                                np.asarray(masks[i, 0]) > 0
+                            )
+                results[f"video_{vid}"] = {
+                    obj_id: (list(np.asarray(gt, bool)), preds[obj_id])
+                    for obj_id, gt in gt_per_obj.items()
+                }
+        finally:
+            self.engine.params = old_params
+        scores = evaluate_videos(results)
+        out = {
+            "val_J": scores["J"], "val_F": scores["F"],
+            "val_JF": scores["J&F"],
+        }
+        self._log_scalars({"step": self.global_step, **out})
+        return out
+
     def run(self, data_loader) -> None:
         """data_loader: object with .batches(n) -> iterator of
         (images [T,B,S,S,3], gt [T,B,S,S]) numpy pairs."""

