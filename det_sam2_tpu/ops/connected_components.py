@@ -138,19 +138,25 @@ def fill_holes_and_sprinkles_np(
 def _propagate_once(labels: jnp.ndarray, fg: jnp.ndarray) -> jnp.ndarray:
     """One 8-neighbor min-propagation step: a single 3x3 min-pool (the
     center is included, which is a no-op since labels only decrease).
-    Out-of-bounds neighbors contribute the int32-max identity via padding.
-    labels [..., H, W] int32 with a large sentinel on background."""
-    big = np.iinfo(np.int32).max
+    Out-of-bounds neighbors contribute the dtype-max identity via padding.
+    labels [..., H, W] int32 or fp32 (fp32 rides the hardware pooling
+    path; flat indices < 2^24 are exact) with a large sentinel on
+    background."""
+    big = (
+        np.float32(np.finfo(np.float32).max)
+        if labels.dtype == jnp.float32
+        else np.int32(np.iinfo(np.int32).max)
+    )
     lead = labels.ndim - 2
     out = jax.lax.reduce_window(
         labels,
-        jnp.asarray(big, jnp.int32),
+        jnp.asarray(big, labels.dtype),
         jax.lax.min,
         window_dimensions=(1,) * lead + (3, 3),
         window_strides=(1,) * labels.ndim,
         padding=((0, 0),) * lead + ((1, 1), (1, 1)),
     )
-    return jnp.where(fg, out, jnp.asarray(big, jnp.int32))
+    return jnp.where(fg, out, jnp.asarray(big, labels.dtype))
 
 
 def connected_components_jax(
@@ -229,11 +235,14 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     a = int(np.ceil(max_area))
     fg = masks != 0
     h, w = fg.shape[-2], fg.shape[-1]
-    big = jnp.asarray(jnp.iinfo(jnp.int32).max, jnp.int32)
+    # fp32 labels: exact for flat indices < 2^24 and the 3x3 min-pool
+    # lowers onto the hardware pooling path (int32 reduce_window doesn't)
+    big = jnp.asarray(np.finfo(np.float32).max, jnp.float32)
     labels = jnp.where(
         fg,
-        jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2) * w
-        + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1),
+        (jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 2) * w
+         + jax.lax.broadcasted_iota(jnp.int32, fg.shape, fg.ndim - 1)
+         ).astype(jnp.float32),
         big,
     )
     labels = jax.lax.fori_loop(
@@ -242,7 +251,7 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     )
     changed = (_propagate_once(labels, fg) != labels) & fg
 
-    flat_lab = jnp.where(fg, labels, 0).reshape(-1, h * w)
+    flat_lab = jnp.where(fg, labels, 0.0).astype(jnp.int32).reshape(-1, h * w)
     flat_fg = fg.reshape(-1, h * w)
     flat_ch = changed.reshape(-1, h * w)
 

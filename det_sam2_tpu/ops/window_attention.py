@@ -56,23 +56,35 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, gp: int, nq: int,
 
 @functools.partial(jax.jit, static_argnames=("gp", "interpret"))
 def _call(q, k, v, gp: int, interpret: bool):
-    """q: [P, Nq, D]; k/v: [P, Nk, D] with P = B*H problems."""
+    """q: [P, Nq, D]; k/v: [P, Nk, D] with P = B*H problems.
+
+    D is zero-padded to a lane-aligned 128 multiple before the kernel
+    (128-lane rows DMA in full bursts; Hiera's head_dim 72 = 144-byte rows
+    otherwise force strided transfers). Padding is exact: zero q/k lanes
+    contribute nothing to q k^T, padded v lanes are sliced off."""
     p_, nq, d = q.shape
     nk = k.shape[1]
     scale = 1.0 / float(np.sqrt(d))
+    dp = -(-d // 128) * 128
+    if dp != d:
+        widths = ((0, 0), (0, 0), (0, dp - d))
+        q = jnp.pad(q, widths)
+        k = jnp.pad(k, widths)
+        v = jnp.pad(v, widths)
     kernel = functools.partial(_kernel, scale=scale, gp=gp, nq=nq, nk=nk)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(p_ // gp,),
         in_specs=[
-            pl.BlockSpec((gp, nq, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gp, nk, d), lambda i: (i, 0, 0)),
-            pl.BlockSpec((gp, nk, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gp, nq, dp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gp, nk, dp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((gp, nk, dp), lambda i: (i, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((gp, nq, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((p_, nq, d), q.dtype),
+        out_specs=pl.BlockSpec((gp, nq, dp), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((p_, nq, dp), q.dtype),
         interpret=interpret,
     )(q, k, v)
+    return out[..., :d] if dp != d else out
 
 
 def _pick_group(p: int, nk: int, target: int = 512) -> int:

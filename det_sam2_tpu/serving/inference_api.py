@@ -133,6 +133,26 @@ class InferenceAPI:
             self.predictor.reset_state(s.state)
             return {"success": True}
 
+    def session_info(self, session_id: str) -> dict:
+        s = self._session(session_id)
+        return {"session_id": session_id,
+                "num_frames": s.state.num_frames,
+                "video_height": s.state.video_height,
+                "video_width": s.state.video_width}
+
+    def frame_jpeg(self, session_id: str, frame_index: int) -> bytes:
+        """Frame as JPEG bytes (serves the demo frontend's viewer)."""
+        import cv2
+
+        s = self._session(session_id)
+        frame = s.state.frames.get(int(frame_index))
+        if frame is None:
+            raise KeyError(f"frame {frame_index} not loaded")
+        ok, buf = cv2.imencode(".jpg", cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
+        if not ok:
+            raise RuntimeError("jpeg encode failed")
+        return bytes(buf)
+
     def cancel_propagate_in_video(self, session_id: str) -> dict:
         s = self._session(session_id)
         s.canceled = True

@@ -6,7 +6,13 @@ endpoints; propagation streams newline-delimited JSON (the reference streams
 multipart chunks, inference/multipart.py).
 
 Endpoints (all POST with JSON bodies unless noted):
+  GET  /                       demo frontend (serving/frontend.py)
   GET  /healthy
+  GET  /session_info?session_id=
+  GET  /frame?session_id=&index=   -> image/jpeg
+  GET  /video?path=                -> video file from gallery/uploads
+  POST /graphql                {"query", "variables"} — the reference demo
+                               schema's operations (serving/graphql.py)
   POST /start_session          {"video_path": ...}
   POST /add_points             {"session_id", "frame_index", "object_id",
                                 "points", "labels", "clear_old_points"}
@@ -25,14 +31,20 @@ Endpoints (all POST with JSON bodies unless noted):
 from __future__ import annotations
 
 import json
+import os
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Optional
+from typing import Optional, TYPE_CHECKING
 
 from det_sam2_tpu.serving.inference_api import InferenceAPI
 
+if TYPE_CHECKING:  # pragma: no cover
+    from det_sam2_tpu.serving.graphql import GraphQLAPI
 
-def make_handler(api: InferenceAPI):
+
+def make_handler(api: InferenceAPI, gql: Optional["GraphQLAPI"] = None):
+    from urllib.parse import parse_qs, urlparse
+
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
 
@@ -47,18 +59,61 @@ def make_handler(api: InferenceAPI):
             self.end_headers()
             self.wfile.write(body)
 
+        def _bytes(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
         def do_GET(self):
-            if self.path == "/healthy":
-                self._json(200, {"status": "ok"})
-            else:
-                self._json(404, {"error": "not found"})
+            try:
+                url = urlparse(self.path)
+                qs = {k: v[0] for k, v in parse_qs(url.query).items()}
+                if url.path == "/healthy":
+                    self._json(200, {"status": "ok"})
+                elif url.path == "/":
+                    from det_sam2_tpu.serving.frontend import INDEX_HTML
+
+                    self._bytes(200, INDEX_HTML.encode(),
+                                "text/html; charset=utf-8")
+                elif url.path == "/session_info":
+                    self._json(200, api.session_info(qs["session_id"]))
+                elif url.path == "/frame":
+                    jpg = api.frame_jpeg(qs["session_id"], int(qs["index"]))
+                    self._bytes(200, jpg, "image/jpeg")
+                elif url.path == "/video" and gql is not None:
+                    path = qs["path"]
+                    allowed = [d for d in (gql.gallery_dir, gql.uploads_dir)
+                               if d]
+                    real = os.path.realpath(path)
+                    if not any(
+                        real.startswith(os.path.realpath(d) + os.sep)
+                        for d in allowed
+                    ):
+                        self._json(403, {"error": "path outside gallery"})
+                        return
+                    with open(real, "rb") as f:
+                        self._bytes(200, f.read(), "video/mp4")
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:
+                traceback.print_exc()
+                try:
+                    self._json(500, {"error": str(e)})
+                except Exception:
+                    pass
 
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(length) or b"{}")
                 route = self.path.rstrip("/")
-                if route == "/start_session":
+                if route == "/graphql" and gql is not None:
+                    self._json(200, gql.execute(
+                        body.get("query", ""), body.get("variables")
+                    ))
+                elif route == "/start_session":
                     self._json(200, api.start_session(body["video_path"]))
                 elif route == "/add_points":
                     self._json(200, api.add_points(
@@ -121,9 +176,14 @@ def make_handler(api: InferenceAPI):
     return Handler
 
 
-def serve(api: InferenceAPI, host: str = "0.0.0.0", port: int = 7263):
+def serve(api: InferenceAPI, host: str = "0.0.0.0", port: int = 7263,
+          gallery_dir: Optional[str] = None,
+          uploads_dir: Optional[str] = None):
     """Blocking server (reference backend default port 7263)."""
-    server = ThreadingHTTPServer((host, port), make_handler(api))
+    from det_sam2_tpu.serving.graphql import GraphQLAPI
+
+    gql = GraphQLAPI(api, gallery_dir=gallery_dir, uploads_dir=uploads_dir)
+    server = ThreadingHTTPServer((host, port), make_handler(api, gql))
     server.serve_forever()
 
 
@@ -141,6 +201,10 @@ def main():  # pragma: no cover
     ap.add_argument("--model", default="hiera_s", choices=MODEL_CONFIGS)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--port", type=int, default=7263)
+    ap.add_argument("--gallery", default=None,
+                    help="directory of mp4s for the demo gallery")
+    ap.add_argument("--uploads", default=None,
+                    help="directory for uploaded/transcoded videos")
     args = ap.parse_args()
 
     cfg = MODEL_CONFIGS[args.model]()
@@ -149,7 +213,8 @@ def main():  # pragma: no cover
     )
     engine = SAM2Engine(cfg, params=params, dtype=jnp.bfloat16)
     api = InferenceAPI(SAM2VideoPredictor(engine))
-    serve(api, port=args.port)
+    serve(api, port=args.port, gallery_dir=args.gallery,
+          uploads_dir=args.uploads)
 
 
 if __name__ == "__main__":  # pragma: no cover

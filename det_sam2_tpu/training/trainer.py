@@ -85,6 +85,93 @@ class AverageMeter:
         return self.sum / max(self.count, 1)
 
 
+def human_readable_time(time_seconds: float) -> str:
+    """(train_utils.py:224-229)"""
+    t = int(time_seconds)
+    minutes, seconds = divmod(t, 60)
+    hours, minutes = divmod(minutes, 60)
+    days, hours = divmod(hours, 24)
+    return f"{days:02}d {hours:02}h {minutes:02}m"
+
+
+class MemMeter:
+    """Per-iteration peak device-memory usage in GiB
+    (train_utils.py:185-222, torch.cuda.max_memory_allocated -> the JAX
+    device's memory_stats peak)."""
+
+    def __init__(self, name: str, device=None):
+        self.name = name
+        self.device = device
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+        self.peak = 0.0
+
+    def update(self, n: int = 1):
+        dev = self.device or jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
+        self.val = (
+            stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0))
+            / 2**30
+        )
+        self.sum += self.val * n
+        self.count += n
+        self.peak = max(self.peak, self.val)
+
+    @property
+    def avg(self) -> float:
+        return self.sum / max(self.count, 1)
+
+    def __str__(self):
+        return f"{self.name}: {self.val:.2f} ({self.avg:.2f}/{self.peak:.2f})"
+
+
+class DurationMeter:
+    """(train_utils.py:232-249)"""
+
+    def __init__(self, name: str):
+        self.name = name
+        self.val = 0.0
+
+    def reset(self):
+        self.val = 0.0
+
+    def update(self, val: float):
+        self.val = val
+
+    def add(self, val: float):
+        self.val += val
+
+    def __str__(self):
+        return f"{self.name}: {human_readable_time(self.val)}"
+
+
+class ProgressMeter:
+    """Formats '[batch/total] | meter | meter' lines
+    (train_utils.py:252-281)."""
+
+    def __init__(self, num_batches: int, meters, prefix: str = ""):
+        digits = len(str(num_batches))
+        self._fmt = "[{:" + str(digits) + "d}/" + str(num_batches) + "]"
+        self.meters = meters
+        self.prefix = prefix
+
+    def format(self, batch: int) -> str:
+        entries = [self.prefix + self._fmt.format(batch)]
+        for m in self.meters:
+            if isinstance(m, AverageMeter):
+                entries.append(f"{m.name}: {m.avg:.4f}")
+            else:
+                entries.append(str(m))
+        return " | ".join(entries)
+
+    def display(self, batch: int) -> None:
+        logger.info("%s", self.format(batch))
+
+
 class Trainer:
     def __init__(
         self,

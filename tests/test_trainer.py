@@ -201,3 +201,25 @@ def test_multi_object_training_step():
     _, _, metrics = step(engine.params, opt_state, images, gt,
                          jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics[CORE_LOSS_KEY]))
+
+
+def test_meters():
+    from det_sam2_tpu.training.trainer import (
+        AverageMeter, DurationMeter, MemMeter, ProgressMeter,
+        human_readable_time,
+    )
+
+    assert human_readable_time(90061) == "01d 01h 01m"
+    m = MemMeter("mem")
+    m.update()
+    assert m.peak >= 0 and m.count == 1
+    d = DurationMeter("t")
+    d.add(30)
+    d.add(60)
+    assert "00d 00h 01m" in str(d)
+    a = AverageMeter("loss")
+    a.update(2.0)
+    a.update(4.0)
+    p = ProgressMeter(100, [a, m, d], prefix="ep1 ")
+    line = p.format(7)
+    assert line.startswith("ep1 [  7/100]") and "loss: 3.0000" in line
