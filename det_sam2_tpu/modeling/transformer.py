@@ -46,9 +46,22 @@ class Attention(nn.Module):
         b, nq = q.shape[0], q.shape[1]
         nk = k.shape[1]
 
+        # Low-rank value path: when the values enter at a narrow kv_in_dim
+        # (the 64-d memory tokens of memory attention), attention runs
+        # against the RAW values and v_proj applies AFTER — P @ (M Wv + bv)
+        # = (P @ M) Wv + bv because softmax rows sum to one. This cuts the
+        # dominant P·V contraction from `internal` to kv_in_dim wide (4x
+        # fewer FLOPs over ~16k memory keys per frame). Exact up to fp
+        # reassociation; fully-masked query rows (P = 0) keep the bias off.
+        kv_in = v.shape[-1]
+        late_v = (
+            self.kv_in_dim is not None and kv_in < internal and h == 1
+        )
+
         q = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
         k = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
-        v = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
+        if not late_v:
+            v = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
 
         q = q.reshape(b, nq, h, -1).transpose(0, 2, 1, 3)
         k = k.reshape(b, nk, h, -1).transpose(0, 2, 1, 3)
@@ -69,7 +82,16 @@ class Attention(nn.Module):
                 )
 
         o = self.attention_fn(q, k, v, bias=bias)
-        o = o.transpose(0, 2, 1, 3).reshape(b, nq, internal)
+        o = o.transpose(0, 2, 1, 3).reshape(b, nq, -1)
+        if late_v:
+            v_proj = nn.Dense(internal, dtype=self.dtype, name="v_proj")
+            o = v_proj(o)
+            if bias is not None:
+                # rows with no live key have P = 0: remove the bias term
+                # v_proj added (bias recovered by projecting a zero vector)
+                live = jnp.any(bias > -1e29, axis=(-1, -2))  # [B, 1]
+                bv = v_proj(jnp.zeros((1, kv_in), self.dtype))  # [1, internal]
+                o = jnp.where(live[..., None], o, o - bv[None])
         return nn.Dense(self.embedding_dim, dtype=self.dtype, name="out_proj")(o)
 
 

@@ -98,9 +98,12 @@ def _pad_axis(x, axis: int, to: int, value=0.0):
     jax.jit, static_argnames=("block_q", "block_k", "interpret")
 )
 def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
-    """q/k/v: [BH, N, D]; bias: [BH, Nk] fp32 additive or None."""
+    """q/k: [BH, N, D]; v: [BH, Nk, Dv] (Dv may differ from D — the
+    low-rank memory path feeds raw 64-d value tokens); bias: [BH, Nk] fp32
+    additive or None."""
     bh, nq, d = q.shape
     nk = k.shape[1]
+    dv = v.shape[-1]
     scale = 1.0 / float(np.sqrt(d))
 
     nq_pad = -(-nq // block_q) * block_q
@@ -125,7 +128,7 @@ def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
         pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
-        pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0)),
+        pl.BlockSpec((1, block_k, dv), lambda b, iq, ik: (b, ik, 0)),
     ]
     args = [q, k, v]
     if has_bias:
@@ -152,17 +155,17 @@ def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
+            pl.BlockSpec((1, block_q, dv), lambda b, iq, ik: (b, iq, 0)),
             pl.BlockSpec((1, 1, block_q), lambda b, iq, ik: (b, 0, iq)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((bh, nq_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, nq_pad, dv), q.dtype),
             jax.ShapeDtypeStruct((bh, 1, nq_pad), jnp.float32),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, 1), jnp.float32),
             pltpu.VMEM((block_q, 1), jnp.float32),
-            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, dv), jnp.float32),
         ],
         interpret=interpret,
     )(*args)
@@ -305,6 +308,7 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
                     interpret: bool):
     bh, nq, d = q.shape
     nk = k.shape[1]
+    dv = v.shape[-1]
     scale = 1.0 / float(np.sqrt(d))
 
     nq_pad = -(-nq // block_q) * block_q
@@ -333,11 +337,13 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
 
     q_spec_iq = pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0))
     k_spec_iq = pl.BlockSpec((1, block_k, d), lambda b, iq, ik: (b, ik, 0))
+    v_spec_iq = pl.BlockSpec((1, block_k, dv), lambda b, iq, ik: (b, ik, 0))
+    do_spec_iq = pl.BlockSpec((1, block_q, dv), lambda b, iq, ik: (b, iq, 0))
     row_spec_iq = pl.BlockSpec((1, 1, block_q), lambda b, iq, ik: (b, 0, iq))
     bias_spec_iq = pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik))
 
     args = [qp, kp, vp]
-    in_specs = [q_spec_iq, k_spec_iq, k_spec_iq]
+    in_specs = [q_spec_iq, k_spec_iq, v_spec_iq]
     if has_bias:
         args.append(biasp)
         in_specs.append(bias_spec_iq)
@@ -347,7 +353,7 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
     else:
         dq_kernel = functools.partial(_flash_bwd_dq_kernel_nobias, scale=scale)
     args += [dop, lsep, deltap]
-    in_specs += [q_spec_iq, row_spec_iq, row_spec_iq]
+    in_specs += [do_spec_iq, row_spec_iq, row_spec_iq]
 
     dq = pl.pallas_call(
         dq_kernel,
@@ -362,11 +368,13 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
     # dk/dv: grid over kv tiles, inner loop over q tiles
     q_spec_ik = pl.BlockSpec((1, block_q, d), lambda b, ik, iq: (b, iq, 0))
     k_spec_ik = pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0))
+    v_spec_ik = pl.BlockSpec((1, block_k, dv), lambda b, ik, iq: (b, ik, 0))
+    do_spec_ik = pl.BlockSpec((1, block_q, dv), lambda b, ik, iq: (b, iq, 0))
     row_spec_ik = pl.BlockSpec((1, 1, block_q), lambda b, ik, iq: (b, 0, iq))
     bias_spec_ik = pl.BlockSpec((1, 1, block_k), lambda b, ik, iq: (b, 0, ik))
 
     args2 = [qp, kp, vp]
-    in_specs2 = [q_spec_ik, k_spec_ik, k_spec_ik]
+    in_specs2 = [q_spec_ik, k_spec_ik, v_spec_ik]
     if has_bias:
         args2.append(biasp)
         in_specs2.append(bias_spec_ik)
@@ -378,7 +386,7 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
             _flash_bwd_dkv_kernel_nobias, scale=scale
         )
     args2 += [dop, lsep, deltap]
-    in_specs2 += [q_spec_ik, row_spec_ik, row_spec_ik]
+    in_specs2 += [do_spec_ik, row_spec_ik, row_spec_ik]
 
     dk, dv = pl.pallas_call(
         dkv_kernel,
@@ -386,15 +394,15 @@ def _flash_bwd_call(q, k, v, bias, out, lse, do, block_q: int, block_k: int,
         in_specs=in_specs2,
         out_specs=(
             pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
-            pl.BlockSpec((1, block_k, d), lambda b, ik, iq: (b, ik, 0)),
+            pl.BlockSpec((1, block_k, dv), lambda b, ik, iq: (b, ik, 0)),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((bh, nk_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((bh, nk_pad, d), v.dtype),
+            jax.ShapeDtypeStruct((bh, nk_pad, dv), v.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
-            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, dv), jnp.float32),
         ],
         interpret=interpret,
     )(*args2)
@@ -451,7 +459,7 @@ def flash_attention(
 
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
-    vf = v.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, v.shape[-1])
     bf = None
     if bias is not None:
         bf = jnp.broadcast_to(bias[:, 0, 0, :][:, None, :], (b, h, nk))
@@ -468,4 +476,4 @@ def flash_attention(
     out = _flash_core(
         qf, kf, vf, bf, block_q_eff, block_k_eff, not on_tpu
     )
-    return out.reshape(b, h, nq, d)
+    return out.reshape(b, h, nq, v.shape[-1])

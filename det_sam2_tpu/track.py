@@ -687,11 +687,20 @@ class SAM2Engine:
         """Dummy pointer from an empty mask (sam2_video_predictor.py:769-804)."""
         cfg = self.cfg
         zeros = jnp.zeros((1, cfg.image_size, cfg.image_size, 1), jnp.float32)
-        bank_dummy = None
+        if cfg.use_mask_input_as_output_without_sam:
+            # the direct-mask path never reads the bank; None keeps the
+            # jitted call free of dead bank uploads
+            bank = None
+        else:
+            # is_init=True skips the memory read, but the traced step still
+            # needs a structurally valid bank pytree
+            from det_sam2_tpu.state import init_bank
+
+            bank = init_bank(cfg, num_objects=1, dtype=self.dtype)
         out = self._mask_prompt_step_fn(True, False)(
             {"params": self.params},
             tuple(f[:1] for f in feats),
-            bank_dummy,
+            bank,
             jnp.int32(frame_idx),
             jnp.int32(1),
             zeros,

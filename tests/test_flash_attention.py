@@ -133,3 +133,41 @@ def test_flash_grad_with_masked_tiles():
     # masked keys get exactly zero gradient
     np.testing.assert_allclose(np.asarray(g_flash[1])[..., 128:256, :], 0.0)
     np.testing.assert_allclose(np.asarray(g_flash[2])[..., 400:, :], 0.0)
+
+
+def test_flash_dv_narrower_than_dq():
+    """Low-rank value path: v width differs from q/k (memory tokens stay
+    64-d through attention)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from det_sam2_tpu.modeling.layers import sdpa
+    from det_sam2_tpu.ops.attention import flash_attention
+
+    rng = np.random.default_rng(7)
+    b, h, nq, nk, d, dv = 1, 1, 256, 384, 64, 32
+    q = jnp.asarray(rng.standard_normal((b, h, nq, d)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, h, nk, d)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, h, nk, dv)), jnp.float32)
+    bias = np.zeros((b, 1, 1, nk), np.float32)
+    bias[..., 300:] = -1e30
+    bias = jnp.asarray(bias)
+
+    out = flash_attention(q, k, v, bias=bias, min_flops=1)
+    ref = sdpa(q, k, v, bias=bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients through the custom VJP with mismatched dv
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, bias=bias, min_flops=1) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sdpa(q, k, v, bias=bias) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4)
