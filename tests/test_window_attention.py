@@ -74,10 +74,11 @@ def test_hiera_through_packed_kernel():
     matches the XLA sdpa path — covers window partition + q-pool wiring."""
     import functools
 
+    from det_sam2_tpu.ops.window_attention import multi_window_attention
+
     from det_sam2_tpu.configs import HieraConfig
     from det_sam2_tpu.modeling.hiera import Hiera
     from det_sam2_tpu.modeling.layers import sdpa as _sdpa
-    from det_sam2_tpu.ops.window_attention import packed_window_attention
 
     cfg = HieraConfig(
         embed_dim=32, num_heads=2, stages=(1, 2, 2, 1),
@@ -93,7 +94,7 @@ def test_hiera_through_packed_kernel():
     ker_mod = Hiera(
         cfg=cfg, attention_fn=_sdpa,
         window_attention_fn=functools.partial(
-            packed_window_attention, interpret=True
+            multi_window_attention, interpret=True
         ),
     )
     out = ker_mod.apply(params, img)
