@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Callable, List, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from det_sam2_tpu.configs import HieraConfig
@@ -114,6 +115,29 @@ class QKVProj(nn.Module):
         ]
 
 
+class OutProj(nn.Module):
+    """Attention output projection fused with the head merge.
+
+    Same parameter tree as Dense(dim_out, name="proj") — kernel
+    [heads*D, dim_out], bias [dim_out] — but contracts the [B, heads, N,
+    D] attention output directly (einsum over (heads, D)), so the
+    [B, heads, N, D] -> [B, N, heads*D] transpose copy disappears into
+    the matmul's operand layout."""
+
+    dim_out: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, o):  # o: [B, heads, N, D] -> [B, N, dim_out]
+        b, h, n, d = o.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (h * d, self.dim_out)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+        k3 = kernel.astype(self.dtype).reshape(h, d, self.dim_out)
+        return jnp.einsum("bhnd,hdc->bnc", o, k3) + bias.astype(self.dtype)
+
+
 class MultiScaleAttention(nn.Module):
     """Windowed/global attention with optional 2x query pooling
     (hieradet.py:40-84).
@@ -148,15 +172,31 @@ class MultiScaleAttention(nn.Module):
 
         if self.window_attention_fn is not None and b > 1:
             o = self.window_attention_fn(q, k, v)  # [B, Nq, heads, D]
-            o = o.reshape(b, oh, ow, -1)
+            o = o.transpose(0, 2, 1, 3)
+        elif b > 1:
+            # windowed: einsums on the [B, N, heads, D] layout — no
+            # explicit q/k/v transposes; XLA folds layout into the dots
+            # (same ops as modeling.layers.sdpa: fp32 logits + softmax)
+            d = q.shape[-1]
+            scale = 1.0 / jnp.sqrt(jnp.asarray(d, jnp.float32))
+            s = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            p = jax.nn.softmax(s, axis=-1)
+            o = jnp.einsum(
+                "bhqk,bkhd->bhqd", p.astype(v.dtype), v,
+                preferred_element_type=jnp.float32,
+            ).astype(v.dtype)
         else:
-            # [B, N, heads, D] -> [B, heads, N, D]
+            # global block: [B, N, heads, D] -> [B, heads, N, D] for the
+            # flash kernel (VMEM-resident softmax over 2304^2 scores)
             q = q.transpose(0, 2, 1, 3)
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
             o = self.attention_fn(q, k, v)
-            o = o.transpose(0, 2, 1, 3).reshape(b, oh, ow, -1)
-        return nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(o)
+        o = OutProj(dim_out=self.dim_out, dtype=self.dtype, name="proj")(o)
+        return o.reshape(b, oh, ow, -1)
 
 
 class MultiScaleBlock(nn.Module):
