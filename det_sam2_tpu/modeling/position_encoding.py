@@ -153,6 +153,38 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return out.astype(orig_dtype)
 
 
+def rope_channel_perm(head_dim: int) -> np.ndarray:
+    """Permutation mapping the interleaved-pair channel layout to
+    [real half | imag half]: perm = [0, 2, 4, ..., 1, 3, 5, ...].
+
+    Stride-2 lane slices (x[..., 0::2]) lower to expensive vector shuffles
+    on TPU; permuting the q/k PROJECTION columns once (a [D, D] kernel
+    gather, folded at compile time) makes the rotation act on contiguous
+    halves instead. q.k scores are invariant under any permutation shared
+    by q and k."""
+    perm = np.empty(head_dim, np.int32)
+    perm[: head_dim // 2] = np.arange(0, head_dim, 2)
+    perm[head_dim // 2:] = np.arange(1, head_dim, 2)
+    return perm
+
+
+def apply_rope_halves(
+    x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+) -> jnp.ndarray:
+    """apply_rope for channels pre-permuted with rope_channel_perm:
+    the pair (2j, 2j+1) lives at (j, j + D/2), so the rotation uses two
+    contiguous half-slices (no lane shuffles)."""
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1 = xf[..., :half]
+    x2 = xf[..., half:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    )
+    return out.astype(orig_dtype)
+
+
 def tile_rope_tables(cos: jnp.ndarray, sin: jnp.ndarray, repeats: int):
     """Repeat per-frame RoPE tables along the token axis (rope_k_repeat)."""
     return (

@@ -14,9 +14,39 @@ from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from det_sam2_tpu.modeling.layers import LayerNorm, MLP, sdpa
-from det_sam2_tpu.modeling.position_encoding import apply_rope
+from det_sam2_tpu.modeling.position_encoding import (
+    apply_rope,
+    apply_rope_halves,
+    rope_channel_perm,
+)
+
+
+class _PermutedDense(nn.Module):
+    """Dense with optionally permuted output columns. Parameter tree is
+    identical to nn.Dense (kernel/bias), so converted checkpoints load
+    unchanged; the permutation is a compile-time-folded [D, D] kernel
+    gather (see rope_channel_perm)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, perm=None):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (x.shape[-1], self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        kernel = kernel.astype(self.dtype)
+        bias = bias.astype(self.dtype)
+        if perm is not None:
+            kernel = kernel[:, perm]
+            bias = bias[perm]
+        return x.astype(self.dtype) @ kernel + bias
 
 
 class Attention(nn.Module):
@@ -58,8 +88,22 @@ class Attention(nn.Module):
             self.kv_in_dim is not None and kv_in < internal and h == 1
         )
 
-        q = nn.Dense(internal, dtype=self.dtype, name="q_proj")(q)
-        k = nn.Dense(internal, dtype=self.dtype, name="k_proj")(k)
+        # RoPE path: permute the q/k projection COLUMNS so the rotation
+        # acts on contiguous channel halves (rope_channel_perm) — the
+        # interleaved form's stride-2 lane slices cost ~1.8 ms/frame in
+        # vector shuffles on v5e. Scores are invariant: q and k share the
+        # permutation.
+        roped = rope_q is not None or rope_k is not None
+        perm = None
+        if roped:
+            dh = internal // h
+            p1 = rope_channel_perm(dh)
+            perm = jnp.asarray(
+                (np.arange(h)[:, None] * dh + p1[None, :]).reshape(-1)
+            )
+
+        q = _PermutedDense(internal, dtype=self.dtype, name="q_proj")(q, perm)
+        k = _PermutedDense(internal, dtype=self.dtype, name="k_proj")(k, perm)
         if not late_v:
             v = nn.Dense(internal, dtype=self.dtype, name="v_proj")(v)
 
@@ -69,15 +113,18 @@ class Attention(nn.Module):
 
         if rope_q is not None:
             cos_q, sin_q = rope_q
-            q = apply_rope(q, cos_q, sin_q)
+            q = apply_rope_halves(q, cos_q, sin_q)
         if rope_k is not None:
             cos_k, sin_k = rope_k
             nkr = nk if num_k_rope is None else num_k_rope
             if nkr == nk:
-                k = apply_rope(k, cos_k, sin_k)
+                k = apply_rope_halves(k, cos_k, sin_k)
             else:
                 k = jnp.concatenate(
-                    [apply_rope(k[:, :, :nkr], cos_k, sin_k), k[:, :, nkr:]],
+                    [
+                        apply_rope_halves(k[:, :, :nkr], cos_k, sin_k),
+                        k[:, :, nkr:],
+                    ],
                     axis=2,
                 )
 
