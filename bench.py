@@ -78,14 +78,14 @@ def bench_model(cfg) -> float:
     bank, outs = engine.propagate_window(
         frames, bank, frame_indices, skips, 10_000
     )
-    float(jnp.sum(outs[0]))
+    float(jnp.sum(outs[0].astype(jnp.float32)))
 
     t0 = time.perf_counter()
     for r in range(REPEATS):
         bank, outs = engine.propagate_window(
             frames, bank, frame_indices + (r + 1) * WINDOW, skips, 10_000
         )
-    float(jnp.sum(outs[0]))
+    float(jnp.sum(outs[0].astype(jnp.float32)))
     dt = time.perf_counter() - t0
     return REPEATS * WINDOW / dt
 

@@ -610,8 +610,10 @@ class SAM2Engine:
                     obj_ptr, obj_valid=obj_valid,
                 )
                 low_res = _maybe_fill_holes(cfg, low_res)
+                # fp16 mask logits: halves the per-window download (the
+                # predictor stores them fp16 anyway)
                 return new_bank, (
-                    low_res.astype(jnp.float32),
+                    low_res.astype(jnp.float16),
                     obj_ptr.astype(jnp.float32),
                     obj_logits.astype(jnp.float32),
                 )
@@ -619,7 +621,7 @@ class SAM2Engine:
             def skip_step(bank, i_img, frame_idx):
                 o = bank.num_objects
                 return bank, (
-                    jnp.zeros((o, 1, s4, s4), jnp.float32),
+                    jnp.zeros((o, 1, s4, s4), jnp.float16),
                     jnp.zeros((o, cfg.hidden_dim), jnp.float32),
                     jnp.zeros((o, 1), jnp.float32),
                 )
@@ -647,10 +649,18 @@ class SAM2Engine:
         t = len(frame_indices)
         if img_idx is None:
             img_idx = np.arange(t, dtype=np.int32)
-        # device-resident frames pass through untouched (no download/upload
-        # round-trip); host arrays are bucketed so skip-count variation
-        # between windows reuses compiled graphs
-        if not isinstance(images, jax.Array):
+        # bucket the run-frame count so skip-count variation between
+        # windows reuses compiled graphs; device-resident frames pad with a
+        # device-side concat (no host round-trip)
+        if isinstance(images, jax.Array):
+            n = images.shape[0]
+            n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
+            if n < n_bucket:
+                images = jnp.concatenate([
+                    images,
+                    jnp.zeros((n_bucket - n, *images.shape[1:]), images.dtype),
+                ])
+        else:
             images = np.asarray(images)
             n = images.shape[0]
             n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0

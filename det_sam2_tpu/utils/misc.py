@@ -162,10 +162,35 @@ def concat_points(old, points: np.ndarray, labels: np.ndarray):
     }
 
 
+_RESIZE_TAPS: dict = {}
+
+
+def _bilinear_taps(src: int, dst: int):
+    """(i0, i1, w0, w1) per output position: bilinear rows have at most two
+    nonzero weights (torch half-pixel convention via resize_weights)."""
+    key = (src, dst)
+    taps = _RESIZE_TAPS.get(key)
+    if taps is None:
+        from det_sam2_tpu.utils.resize import resize_weights
+
+        w = resize_weights(src, dst, "bilinear")  # [dst, src]
+        order = np.argsort(-w, axis=1)[:, :2]
+        i0, i1 = order[:, 0], order[:, 1]
+        rows = np.arange(dst)
+        taps = (
+            i0, i1,
+            w[rows, i0].astype(np.float32)[:, None],
+            w[rows, i1].astype(np.float32)[:, None],
+        )
+        _RESIZE_TAPS[key] = taps
+    return taps
+
+
 def resize_masks_np(masks: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     """Host-side bilinear resize of mask logits [..., h, w] -> [..., H, W]
     (cv2 INTER_LINEAR matches torch align_corners=False semantics; used to
-    avoid large device->host transfers of video-res masks)."""
+    avoid large device->host transfers of video-res masks). Without cv2,
+    a separable 2-tap gather resize with the same torch-exact weights."""
     h, w = masks.shape[-2:]
     oh, ow = int(out_hw[0]), int(out_hw[1])
     if (h, w) == (oh, ow):
@@ -178,11 +203,10 @@ def resize_masks_np(masks: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
              for m in flat]
         )
     else:
-        from det_sam2_tpu.utils.resize import resize_weights
-
-        wy = resize_weights(h, oh, "bilinear")
-        wx = resize_weights(w, ow, "bilinear")
-        out = np.einsum("oh,nhw,pw->nop", wy, flat, wx)
+        j0, j1, v0, v1 = _bilinear_taps(w, ow)
+        x = flat[:, :, j0] * v0[:, 0] + flat[:, :, j1] * v1[:, 0]
+        i0, i1, u0, u1 = _bilinear_taps(h, oh)
+        out = x[:, i0, :] * u0 + x[:, i1, :] * u1
     return out.reshape(*lead, oh, ow)
 
 

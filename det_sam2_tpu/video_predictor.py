@@ -58,6 +58,11 @@ class InferenceSession:
         self.video_height = video_height
         self.video_width = video_width
         self.frames: Dict[int, np.ndarray] = {}
+        # device-resident frame cache: each frame uploads ONCE and is
+        # reused by every window that covers it (Det-SAM2 windows overlap
+        # ~2x: detect every 30 frames, track 60) — halves host->device
+        # traffic in production and matters enormously over slow links
+        self.frames_dev: Dict[int, "jnp.ndarray"] = {}
         self.num_frames = 0
         self.obj_id_to_idx: "collections.OrderedDict[int, int]" = (
             collections.OrderedDict()
@@ -177,16 +182,26 @@ class SAM2VideoPredictor:
             mask[obj_idx] = True
         return mask
 
+    def _device_frame(self, session: InferenceSession, frame_idx: int):
+        """Upload-once device cache of a frame (uint8 model-size); evicted
+        together with the host frame by release_old_frames."""
+        arr = session.frames_dev.get(frame_idx)
+        if arr is None:
+            frame = session.frames.get(frame_idx)
+            if frame is None:
+                raise KeyError(
+                    f"frame {frame_idx} is not available (released or never "
+                    "loaded)"
+                )
+            arr = jnp.asarray(frame)
+            session.frames_dev[frame_idx] = arr
+        return arr
+
     def _get_feats(self, session: InferenceSession, frame_idx: int):
         """LRU-1 feature cache (reference :1174-1212)."""
         if session._feat_cache is not None and session._feat_cache[0] == frame_idx:
             return session._feat_cache[1]
-        frame = session.frames.get(frame_idx)
-        if frame is None:
-            raise KeyError(
-                f"frame {frame_idx} is not available (released or never loaded)"
-            )
-        img = jnp.asarray(frame)[None]  # fp16 upload; device casts
+        img = self._device_frame(session, frame_idx)[None]
         feats = self.engine.encode_image(img)
         session._feat_cache = (frame_idx, feats)
         return feats
@@ -678,14 +693,16 @@ class SAM2VideoPredictor:
             and all(_skip(fi) or fi in session.frames for fi in order)
         )
         if fast_ok:
-            # upload ONLY the frames that will run; skipped frames map to a
-            # dummy row (index 0) and transfer no bytes
+            # device-cached frames: only never-seen frames transfer bytes;
+            # skipped frames map to a dummy row (index 0)
             shape = (self.image_size, self.image_size, 3)
             run_frames = [fi for fi in order if not _skip(fi)]
             images = (
-                np.stack([session.frames[fi] for fi in run_frames])
+                jnp.stack(
+                    [self._device_frame(session, fi) for fi in run_frames]
+                )
                 if run_frames
-                else np.zeros((0, *shape), np.uint8)
+                else jnp.zeros((0, *shape), jnp.uint8)
             )
             pos = {fi: i for i, fi in enumerate(run_frames)}
             img_idx = np.asarray([pos.get(fi, 0) for fi in order], np.int32)
@@ -757,12 +774,12 @@ class SAM2VideoPredictor:
                      session.noncond_outputs[frame_idx]["pred_masks"])
                 )
             else:
-                frame = session.frames.get(frame_idx)
-                if frame is None:
+                if frame_idx not in session.frames:
                     raise KeyError(f"frame {frame_idx} is not available")
                 session._feat_cache = None  # features are fused into the step
                 session.bank, out = self.engine.stream_step(
-                    jnp.asarray(frame)[None], session.bank, frame_idx,
+                    self._device_frame(session, frame_idx)[None],
+                    session.bank, frame_idx,
                     num_frames, reverse=reverse, obj_valid=active,
                 )
                 device_outs.append((frame_idx, out, None))
@@ -841,6 +858,8 @@ class SAM2VideoPredictor:
         if release_images:
             for t in [t for t in session.frames if _in_range(t)]:
                 session.frames.pop(t, None)
+            for t in [t for t in session.frames_dev if _in_range(t)]:
+                session.frames_dev.pop(t, None)
             if session._feat_cache and _in_range(session._feat_cache[0]):
                 session._feat_cache = None
 
