@@ -130,7 +130,14 @@ def _broadcast_feats(feats, o: int):
 
 class SAM2Engine:
     """Holds params + compiled step functions. Thread-compatible: all state
-    lives in the MemoryBank pytree owned by the caller."""
+    lives in the MemoryBank pytree owned by the caller.
+
+    Compiled-graph cache policy: step functions are lru_cached per
+    (reverse, window length, image count, cond-tile bucket, ...) with
+    maxsize=64 per family — far above the handful of variants a fixed-knob
+    app compiles, but bounded so a long-lived multi-video serving process
+    cannot accumulate compiled executables without limit (evicted variants
+    recompile from the on-disk JAX compilation cache)."""
 
     def __init__(
         self,
@@ -246,7 +253,7 @@ class SAM2Engine:
         """img [1, H, W, 3] normalized -> (feat_s0, feat_s1, feat)."""
         return self._encode_image_fn({"params": self.params}, img)
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _track_step_fn(self, reverse: bool):
         cfg, model = self.cfg, self.model
 
@@ -296,7 +303,7 @@ class SAM2Engine:
             np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _prompt_step_fn(self, num_pts: int, is_init: bool, reverse: bool,
                         has_prev_logits: bool):
         cfg, model = self.cfg, self.model
@@ -362,7 +369,7 @@ class SAM2Engine:
             points.astype(jnp.float32), labels.astype(jnp.int32), prev_logits,
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _predict_step_fn(self, num_pts: int, has_mask: bool, multimask: bool):
         """Memory-less SAM prediction (image predictor / AMG): the no-mem
         path of the heads with full multimask outputs returned."""
@@ -410,7 +417,7 @@ class SAM2Engine:
             mask_input,
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _mask_prompt_step_fn(self, is_init: bool, reverse: bool):
         cfg, model = self.cfg, self.model
 
@@ -450,7 +457,7 @@ class SAM2Engine:
             mask_inputs.astype(jnp.float32),
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _encode_cond_fn(self, is_mask_from_pts: bool, pinned: bool,
                         to_cond: bool = True):
         cfg, model = self.cfg, self.model
@@ -512,7 +519,7 @@ class SAM2Engine:
             np.asarray(obj_valid),
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _stream_step_fn(self, reverse: bool):
         """One fused jit: image encode + memory read + SAM heads + memory
         write — the steady-state streaming hot path. Fusing lets XLA overlap
@@ -562,7 +569,7 @@ class SAM2Engine:
             np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _propagate_window_fn(self, t: int, n_images: int, reverse: bool):
         """Whole propagation window as ONE jitted lax.scan: T frames stream
         through encode+track+write with the MemoryBank as the scan carry.
@@ -680,7 +687,7 @@ class SAM2Engine:
             np.asarray(obj_valid),
         )
 
-    @functools.lru_cache(maxsize=None)
+    @functools.lru_cache(maxsize=64)
     def _resize_fn(self, h: int, w: int):
         @jax.jit
         def fn(masks):

@@ -129,7 +129,9 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
         pid, pcount, jax.local_device_count(), jax.device_count(),
     )
 
-    from det_sam2_tpu.build import build_sam2
+    import jax.numpy as jnp
+
+    from det_sam2_tpu.build import build_sam2_engine
     from det_sam2_tpu.configs import MODEL_CONFIGS, with_image_size
     from det_sam2_tpu.training.dataset import (
         PNGRawDataset,
@@ -141,7 +143,10 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     from det_sam2_tpu.training.trainer import Trainer, TrainerConf
 
     cfg = with_image_size(MODEL_CONFIGS[args.model](), args.image_size)
-    engine = build_sam2(cfg=cfg, checkpoint=args.torch_ckpt)
+    # fp32 master params for training (inference builds default to bf16)
+    engine = build_sam2_engine(
+        cfg, checkpoint=args.torch_ckpt, dtype=jnp.float32
+    )
 
     mesh = make_global_mesh()
     local_devices = jax.local_device_count()

@@ -1,0 +1,118 @@
+"""training/launch.py coverage: single-process init, global mesh, host-local
+-> global batch assembly, DistributedDataLoader, and a CLI main smoke run on
+a synthetic DAVIS-layout dataset (reference entry point:
+/root/reference/training/train.py:28-123)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from det_sam2_tpu.training.launch import (
+    DistributedDataLoader,
+    host_local_batch_to_global,
+    init_distributed,
+    main,
+    make_global_mesh,
+)
+
+
+def test_init_distributed_single_process():
+    # no coordinator, single host: must no-op and report rank 0 of 1
+    pid, pcount = init_distributed()
+    assert pid == 0
+    assert pcount == 1
+
+
+def test_make_global_mesh_spans_all_devices():
+    mesh = make_global_mesh()
+    assert mesh.axis_names == ("data",)
+    assert mesh.devices.size == len(jax.devices()) == 8
+
+
+def test_host_local_batch_to_global_roundtrip():
+    mesh = make_global_mesh()
+    t, b, s = 2, 8, 16
+    rng = np.random.default_rng(0)
+    images = rng.standard_normal((t, b, s, s, 3)).astype(np.float32)
+    gt = (rng.random((t, b, s, s)) > 0.5).astype(np.float32)
+    g_images, g_gt = host_local_batch_to_global(mesh, (images, gt), axis=1)
+    # single process: the global array equals the local batch, sharded over
+    # the mesh 'data' axis
+    assert g_images.shape == images.shape
+    assert not g_images.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(g_images), images)
+    np.testing.assert_array_equal(np.asarray(g_gt), gt)
+
+
+def test_distributed_dataloader_yields_global_shards():
+    from det_sam2_tpu.training.dataset import (
+        RandomUniformSampler,
+        SyntheticRawDataset,
+        VOSDataLoader,
+    )
+
+    mesh = make_global_mesh()
+    loader = VOSDataLoader(
+        SyntheticRawDataset(num_videos=2, num_frames=4),
+        RandomUniformSampler(num_frames=2, max_num_objects=1),
+        image_size=32,
+        batch_size=8,
+    )
+    dl = DistributedDataLoader(loader, mesh)
+    images, gt = next(iter(dl.batches(1)))
+    assert images.shape == (2, 8, 32, 32, 3)
+    assert gt.shape == (2, 8, 32, 32)
+    assert not images.sharding.is_fully_replicated
+
+
+def _write_synthetic_davis(root):
+    from PIL import Image
+
+    img_root = os.path.join(root, "JPEGImages")
+    gt_root = os.path.join(root, "Annotations")
+    rng = np.random.default_rng(0)
+    for vid in ("video_a", "video_b"):
+        os.makedirs(os.path.join(img_root, vid))
+        os.makedirs(os.path.join(gt_root, vid))
+        for f in range(4):
+            frame = (rng.random((64, 64, 3)) * 255).astype(np.uint8)
+            Image.fromarray(frame).save(
+                os.path.join(img_root, vid, f"{f:05d}.jpg")
+            )
+            mask = np.zeros((64, 64), np.uint8)
+            mask[10 + f : 40 + f, 20:50] = 1
+            Image.fromarray(mask).save(
+                os.path.join(gt_root, vid, f"{f:05d}.png")
+            )
+    return img_root, gt_root
+
+
+@pytest.mark.slow
+def test_main_cli_smoke(tmp_path, monkeypatch):
+    """End-to-end CLI run: tiny model, 1 epoch x 1 step on the 8-device
+    mesh, checkpoint written."""
+    from det_sam2_tpu import configs
+
+    monkeypatch.setitem(
+        configs.MODEL_CONFIGS, "hiera_t", lambda: configs.tiny_test_config()
+    )
+    img_root, gt_root = _write_synthetic_davis(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpts")
+    main(
+        [
+            "--img-folder", img_root,
+            "--gt-folder", gt_root,
+            "--model", "hiera_t",
+            "--image-size", "128",
+            "--num-epochs", "1",
+            "--steps-per-epoch", "1",
+            "--batch-size", "1",
+            "--num-frames", "2",
+            "--max-objects", "1",
+            "--checkpoint-dir", ckpt_dir,
+        ]
+    )
+    assert any(n.startswith("ckpt_") for n in os.listdir(ckpt_dir))
