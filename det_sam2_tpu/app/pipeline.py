@@ -33,6 +33,8 @@ class DetSAM2Pipeline:
         video_processor: VideoProcessor,
         post_processor: Optional[VideoPostProcessor] = None,
         max_inference_state_frames: int = 2000,  # pipeline default (:43)
+        visualize_postprocess: bool = False,  # retain frames, render overlay
+        output_video_dir: Optional[str] = None,  # where the overlay mp4 goes
     ):
         self.video_processor = video_processor
         self.video_processor.max_inference_state_frames = (
@@ -46,6 +48,13 @@ class DetSAM2Pipeline:
         self.postprocess_started = threading.Event()
         self._post_thread: Optional[threading.Thread] = None
         self._errors: list = []
+        # reference Det_SAM2_pipeline.py:28,224-235: when the viz flag is
+        # on, every raw frame is retained and the postprocessor's event
+        # overlay is rendered to an mp4 after inference completes
+        self.visualize_postprocess = visualize_postprocess
+        self.output_video_dir = output_video_dir
+        self.retained_frames: list = []
+        self.visualized_video_path: Optional[str] = None
 
     # ------------------------------------------------------------------
 
@@ -137,6 +146,8 @@ class DetSAM2Pipeline:
                     yield f
 
         for i, frame in enumerate(frame_iter()):
+            if self.visualize_postprocess:
+                self.retained_frames.append(frame)
             vp.process_frame(vp.pre_frames + i, frame)
             self._hand_off_segments()
             self._maybe_start_postprocess()
@@ -148,4 +159,12 @@ class DetSAM2Pipeline:
             self._post_thread.join(timeout=60)
         if self._errors:
             raise self._errors[0]
+        if self.visualize_postprocess and self.retained_frames:
+            if self.output_video_dir is None:
+                raise ValueError(
+                    "visualize_postprocess=True requires output_video_dir"
+                )
+            self.visualized_video_path = self.post_processor.visualize(
+                self.retained_frames, self.output_video_dir
+            )
         return self.post_processor

@@ -452,3 +452,144 @@ class VideoPostProcessor:
             for bid, b in items
         ]
         return {"pot": pots, "collision": collisions, "rebound": rebounds}
+
+    # ------------------------------------------------------------------
+    # event-overlay visualization (postprocess_det_sam2.py:61-232)
+    # ------------------------------------------------------------------
+
+    def draw_frame_overlay(self, frame_bgr: np.ndarray, frame_idx: int,
+                           total_frames: int) -> np.ndarray:
+        """Draw detected-event annotations for one frame (BGR, in place):
+        hole anchors + pot-threshold circles + names, ball centroids with
+        velocity arrows and ids, pot rings + "<id> In <hole>" labels (shown
+        for 10 frames after the pot), collision rings + a bottom-center
+        caption, table-boundary rectangles with the rebound edge highlighted
+        + the rebounding ball id, and a frame counter."""
+        if cv2 is None:
+            raise RuntimeError("cv2 required for visualization")
+        h, w = frame_bgr.shape[:2]
+        red, green, white = (0, 0, 255), (0, 255, 0), (255, 255, 255)
+
+        for hole_name, hole_center in self.hole_names_and_positions:
+            c = tuple(int(v) for v in hole_center)
+            cv2.circle(frame_bgr, c, 10, red, -1)
+            cv2.circle(frame_bgr, c, int(self.pot_distance_threshold), green, 2)
+            cv2.putText(frame_bgr, hole_name, (c[0] + 15, c[1] + 15),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, white, 2)
+
+        positions = self.balls_positions.get(frame_idx, {})
+        velocities = self.balls_velocities.get(frame_idx, {})
+        for ball_id, pos in positions.items():
+            if pos is None:
+                continue
+            p = tuple(int(v) for v in pos)
+            cv2.circle(frame_bgr, p, 8, red, -1)
+            vx, vy = velocities.get(ball_id, (0, 0))
+            cv2.arrowedLine(frame_bgr, p, (int(p[0] + vx), int(p[1] + vy)),
+                            red, 4, tipLength=0.1)
+            cv2.putText(frame_bgr, str(ball_id), (p[0] + 10, p[1] - 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 0.6, white, 2)
+
+        for ball_id, info in self.disappeared_balls.items():
+            last = info["last_frame"]
+            if last <= frame_idx <= last + 10:
+                x, y = (int(v) for v in info["last_position"])
+                cv2.circle(frame_bgr, (x, y), 10, red, 3)
+                cv2.putText(frame_bgr, f"{ball_id} In {info['hole']}",
+                            (x + 10, y), cv2.FONT_HERSHEY_SIMPLEX, 0.7, red, 2)
+
+        pairs = self.ball_collision.get(frame_idx, [])
+        if pairs:
+            for id1, id2 in pairs:
+                for bid in (id1, id2):
+                    pos = positions.get(bid)
+                    if pos is not None:
+                        cv2.circle(frame_bgr, tuple(int(v) for v in pos),
+                                   25, red, 3)
+            caption = f"{frame_idx} frame collisions: " + ", ".join(
+                f"Ball {a} & Ball {b}" for a, b in pairs
+            )
+            (tw, _), _ = cv2.getTextSize(
+                caption, cv2.FONT_HERSHEY_SIMPLEX, 1, 2
+            )
+            cv2.putText(frame_bgr, caption, ((w - tw) // 2, h - 10),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, white, 2)
+
+        if self.effective_boundary is not None:
+            lb, rb, tb, bb = (int(v) for v in self.effective_boundary)
+            m = int(self.margin)
+            outer = (lb - m, tb - m, rb + m, bb + m)
+            cv2.rectangle(frame_bgr, (outer[0], outer[1]),
+                          (outer[2], outer[3]), green, 2)
+            cv2.rectangle(frame_bgr, (lb, tb), (rb, bb), green, 2)
+            edges = {
+                "top": ((outer[0], outer[1], outer[2], outer[1]),
+                        (lb, tb, rb, tb), ((lb + rb) // 2, tb + 20)),
+                "bottom": ((outer[0], outer[3], outer[2], outer[3]),
+                           (lb, bb, rb, bb), ((lb + rb) // 2, bb - 10)),
+                "left": ((outer[0], outer[1], outer[0], outer[3]),
+                         (lb, tb, lb, bb), (lb + 10, (tb + bb) // 2)),
+                "right": ((outer[2], outer[1], outer[2], outer[3]),
+                          (rb, tb, rb, bb), (rb - 50, (tb + bb) // 2)),
+            }
+            for ball_id, direction in self.ball_rebound.get(frame_idx, []):
+                if direction not in edges:
+                    continue
+                o, inner, txt = edges[direction]
+                cv2.line(frame_bgr, (o[0], o[1]), (o[2], o[3]), red, 2)
+                cv2.line(frame_bgr, (inner[0], inner[1]),
+                         (inner[2], inner[3]), red, 2)
+                cv2.putText(frame_bgr, str(ball_id), txt,
+                            cv2.FONT_HERSHEY_SIMPLEX, 1.5, white, 3)
+
+        cv2.putText(frame_bgr, f"Frame: {frame_idx + 1}/{total_frames}",
+                    (10, 30), cv2.FONT_HERSHEY_SIMPLEX, 1, white, 2)
+        return frame_bgr
+
+    def visualize(self, video_source, output_video_dir: str,
+                  output_video_name: str = "postprocess_visualized.mp4",
+                  fps: int = 2) -> str:
+        """Render the event overlay onto every frame and write an mp4
+        (reference visualize(): local video path OR a list of RGB frames;
+        output at 2 fps). Returns the written path."""
+        if cv2 is None:
+            raise RuntimeError("cv2 required for visualization")
+        import os
+
+        os.makedirs(output_video_dir, exist_ok=True)
+        out_path = os.path.join(output_video_dir, output_video_name)
+
+        cap = None
+        if isinstance(video_source, str):
+            if not os.path.isfile(video_source):
+                raise FileNotFoundError(video_source)
+            cap = cv2.VideoCapture(video_source)
+            width = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+            height = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+            total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        else:
+            total = len(video_source)
+            height, width = video_source[0].shape[:2]
+
+        writer = cv2.VideoWriter(
+            out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (width, height)
+        )
+        try:
+            for frame_idx in range(total):
+                if cap is not None:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                else:
+                    frame = cv2.cvtColor(
+                        np.ascontiguousarray(video_source[frame_idx]),
+                        cv2.COLOR_RGB2BGR,
+                    )
+                writer.write(
+                    self.draw_frame_overlay(frame, frame_idx, total)
+                )
+        finally:
+            if cap is not None:
+                cap.release()
+            writer.release()
+        return out_path

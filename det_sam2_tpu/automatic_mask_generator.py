@@ -129,9 +129,30 @@ class SAM2AutomaticMaskGenerator:
             orig_size, self.crop_n_layers, self.crop_overlap_ratio
         )
         data = MaskData()
-        for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
-            crop_data = self._process_crop(image, crop_box, layer_idx, orig_size)
-            data.cat(crop_data)
+        if len(crop_boxes) > 1:
+            # encode every crop in ONE batched FPN forward (all crops are
+            # resized to image_size, so they stack), then decode per crop
+            crops = [
+                image[y0:y1, x0:x1, :] for x0, y0, x1, y1 in crop_boxes
+            ]
+            self.predictor.set_image_batch(crops)
+            for i, (crop_box, layer_idx) in enumerate(
+                zip(crop_boxes, layer_idxs)
+            ):
+                self.predictor.select_batch_image(i)
+                data.cat(
+                    self._process_crop(
+                        image, crop_box, layer_idx, orig_size,
+                        preencoded=True,
+                    )
+                )
+            self.predictor.reset_predictor()
+        else:
+            for crop_box, layer_idx in zip(crop_boxes, layer_idxs):
+                crop_data = self._process_crop(
+                    image, crop_box, layer_idx, orig_size
+                )
+                data.cat(crop_data)
 
         if len(crop_boxes) > 1 and len(data["boxes"]) > 0:
             # prefer masks from smaller crops (reference :~210)
@@ -145,11 +166,13 @@ class SAM2AutomaticMaskGenerator:
             data.filter(keep)
         return data
 
-    def _process_crop(self, image, crop_box, crop_layer_idx, orig_size) -> MaskData:
+    def _process_crop(self, image, crop_box, crop_layer_idx, orig_size,
+                      preencoded: bool = False) -> MaskData:
         x0, y0, x1, y1 = crop_box
         cropped = image[y0:y1, x0:x1, :]
         cropped_size = cropped.shape[:2]
-        self.predictor.set_image(cropped)
+        if not preencoded:
+            self.predictor.set_image(cropped)
 
         points_scale = np.asarray(cropped_size, np.float32)[None, ::-1]
         points_for_image = self.point_grids[crop_layer_idx] * points_scale
@@ -160,7 +183,8 @@ class SAM2AutomaticMaskGenerator:
                 points, cropped_size, crop_box, orig_size
             )
             data.cat(batch_data)
-        self.predictor.reset_predictor()
+        if not preencoded:
+            self.predictor.reset_predictor()
 
         if len(data["boxes"]) > 0:
             keep = nms(

@@ -38,15 +38,45 @@ class SAM2ImagePredictor:
         self._features = None
         self._orig_hw: Optional[Tuple[int, int]] = None
         self._is_image_set = False
+        self._is_batch = False
+        self._batch_features = None
+        self._orig_hw_list: List[Tuple[int, int]] = []
 
     # ------------------------------------------------------------------
 
     def set_image(self, image: np.ndarray) -> None:
         """image: RGB uint8 [H, W, 3]."""
+        self.reset_predictor()
         self._orig_hw = image.shape[:2]
         frame = prepare_frame(image, self.image_size)
         self._features = self.engine.encode_image(jnp.asarray(frame)[None])
         self._is_image_set = True
+
+    def set_image_batch(self, image_list: List[np.ndarray]) -> None:
+        """Embed several images in ONE batched FPN forward (reference
+        sam2_image_predictor.py:131-173 set_image_batch). On TPU the batched
+        encode keeps the MXU busy across images instead of dispatching B
+        separate graphs; per-image features are sliced out afterwards."""
+        self.reset_predictor()
+        self._orig_hw_list = [im.shape[:2] for im in image_list]
+        frames = np.stack(
+            [prepare_frame(im, self.image_size) for im in image_list]
+        )
+        self._batch_features = self.engine.encode_image(jnp.asarray(frames))
+        self._is_batch = True
+        self._is_image_set = True
+
+    def select_batch_image(self, index: int) -> None:
+        """Pin image `index` of a set_image_batch() call so the
+        single-image API (predict / same-image predict_batch) runs against
+        it. TPU-native addition: lets AMG's crop loop reuse one batched
+        encode."""
+        if self._batch_features is None:
+            raise RuntimeError("call set_image_batch before select_batch_image")
+        self._features = tuple(
+            f[index : index + 1] for f in self._batch_features
+        )
+        self._orig_hw = self._orig_hw_list[index]
 
     def _transform_coords(self, coords: np.ndarray, normalize: bool) -> np.ndarray:
         coords = np.asarray(coords, np.float32)
@@ -92,14 +122,36 @@ class SAM2ImagePredictor:
 
     def predict_batch(
         self,
-        point_coords_batch: np.ndarray,  # [B, P, 2]
-        point_labels_batch: np.ndarray,  # [B, P]
-        mask_input_batch: np.ndarray = None,  # [B, 1, s4, s4] logits
+        point_coords_batch=None,  # [B, P, 2] (same image) or list per image
+        point_labels_batch=None,  # [B, P] or list per image
+        mask_input_batch=None,  # [B, 1, s4, s4] logits or list per image
         multimask_output: bool = True,
         return_logits: bool = False,
         normalize_coords: bool = True,
+        box_batch=None,  # list of per-image boxes (batch-image mode only)
     ):
-        """Batch of prompts against the SAME image (AMG hot path)."""
+        """Two modes sharing the reference's argument surface:
+
+        * after set_image_batch(): per-image prompt lists -> lists of
+          (masks, ious, low_res), one entry per image (reference
+          sam2_image_predictor.py:175-240 predict_batch);
+        * after set_image()/select_batch_image(): a prompt batch against
+          the SAME image as one jitted decoder call (AMG hot path).
+        """
+        if self._is_batch and (
+            point_coords_batch is None
+            or isinstance(point_coords_batch, (list, tuple))
+        ):
+            return self._predict_image_batch(
+                point_coords_batch, point_labels_batch, box_batch,
+                mask_input_batch, multimask_output, return_logits,
+                normalize_coords,
+            )
+        if not self._is_image_set or self._features is None:
+            raise RuntimeError(
+                "call set_image (or set_image_batch + select_batch_image) "
+                "before predict_batch with a same-image prompt batch"
+            )
         coords = self._transform_coords(point_coords_batch, normalize_coords)
         out = self.engine.predict_step(
             self._features, coords, np.asarray(point_labels_batch, np.int32),
@@ -112,6 +164,35 @@ class SAM2ImagePredictor:
         if not return_logits:
             masks = masks > self.mask_threshold
         return masks, ious, multimasks
+
+    def _predict_image_batch(
+        self, point_coords_batch, point_labels_batch, box_batch,
+        mask_input_batch, multimask_output, return_logits, normalize_coords,
+    ):
+        """Per-image prediction against a set_image_batch() embedding: the
+        encode was one batched device call; prompts (which differ per image)
+        decode per image against the sliced features."""
+        n = len(self._orig_hw_list)
+
+        def pick(batch, i):
+            return None if batch is None else batch[i]
+
+        all_masks, all_ious, all_low = [], [], []
+        for i in range(n):
+            self.select_batch_image(i)
+            masks, ious, low_res = self.predict(
+                point_coords=pick(point_coords_batch, i),
+                point_labels=pick(point_labels_batch, i),
+                box=pick(box_batch, i),
+                mask_input=pick(mask_input_batch, i),
+                multimask_output=multimask_output,
+                return_logits=return_logits,
+                normalize_coords=normalize_coords,
+            )
+            all_masks.append(masks)
+            all_ious.append(ious)
+            all_low.append(low_res)
+        return all_masks, all_ious, all_low
 
     def _prepare_prompts(self, point_coords, point_labels, box, normalize):
         parts_c, parts_l = [], []

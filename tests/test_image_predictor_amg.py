@@ -122,3 +122,57 @@ def test_amg_generates_records(image_predictor):
                 "point_coords", "stability_score", "crop_box"):
         assert key in rec
     assert rec["segmentation"].shape == (64, 64)
+
+
+@pytest.mark.slow
+def test_set_image_batch_parity(image_predictor):
+    """Batched encode must reproduce per-image encode results (reference
+    sam2_image_predictor.py:131-240 set_image_batch/predict_batch)."""
+    rng = np.random.default_rng(3)
+    imgs = [
+        rng.integers(0, 255, (96, 120, 3), np.uint8),
+        rng.integers(0, 255, (80, 100, 3), np.uint8),
+    ]
+    pts = [np.asarray([[40.0, 50.0]]), np.asarray([[30.0, 30.0]])]
+    lbl = [np.asarray([1]), np.asarray([1])]
+
+    image_predictor.set_image_batch(imgs)
+    bmasks, bious, blow = image_predictor.predict_batch(
+        pts, lbl, multimask_output=True
+    )
+    assert len(bmasks) == 2
+    assert bmasks[0].shape == (3, 96, 120)
+    assert bmasks[1].shape == (3, 80, 100)
+
+    for i in range(2):
+        image_predictor.set_image(imgs[i])
+        masks, ious, low = image_predictor.predict(
+            point_coords=pts[i], point_labels=lbl[i], multimask_output=True
+        )
+        np.testing.assert_array_equal(bmasks[i], masks)
+        np.testing.assert_allclose(bious[i], ious, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_amg_multi_crop_batched_encode(image_predictor):
+    """crop_n_layers=1 runs >1 crops through one batched encode; records
+    still come out with crop_box bookkeeping intact."""
+    rng = np.random.default_rng(4)
+    img = np.full((72, 96, 3), 30, np.uint8)
+    img[10:30, 12:40] = (220, 60, 60)
+    img[40:64, 50:90] = (60, 220, 60)
+    amg = SAM2AutomaticMaskGenerator(
+        image_predictor,
+        points_per_side=4,
+        points_per_batch=16,
+        pred_iou_thresh=0.0,
+        stability_score_thresh=0.0,
+        min_mask_region_area=0,
+        crop_n_layers=1,
+    )
+    records = amg.generate(img)
+    assert len(records) > 0
+    crop_boxes = {tuple(r["crop_box"]) for r in records}
+    assert len(crop_boxes) >= 1
+    for rec in records:
+        assert rec["segmentation"].shape == (72, 96)

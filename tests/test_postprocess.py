@@ -114,3 +114,87 @@ def test_event_parity_with_reference(pockets):
     assert 4 in mine.disappeared_balls
     assert any(mine.ball_collision.values())
     assert any(mine.ball_rebound.values())
+
+
+def test_event_overlay_visualize(pockets, tmp_path):
+    """Overlay rendering: annotations land on event frames and an mp4 is
+    written (reference postprocess_det_sam2.py:61-232 visualize())."""
+    cv2 = pytest.importorskip("cv2")
+    segs = _make_segments()
+    pp = VideoPostProcessor()
+    pp.get_hole_name(pockets)
+    pp.get_boundary_from_holes()
+    pp.run(segs)
+    assert any(pp.ball_collision.values()) and pp.disappeared_balls
+
+    # collision ring lands around the colliding balls' centroids
+    cframe = min(f for f, pairs in pp.ball_collision.items() if pairs)
+    id1, id2 = pp.ball_collision[cframe][0]
+    frame = np.zeros((H, W, 3), np.uint8)
+    out = pp.draw_frame_overlay(frame, cframe, len(segs))
+    for bid in (id1, id2):
+        pos = pp.balls_positions[cframe].get(bid)
+        if pos is None:
+            continue
+        x, y = int(pos[0]), int(pos[1])
+        ring = out[max(y - 30, 0) : y + 30, max(x - 30, 0) : x + 30]
+        assert (ring[..., 2] > 200).any(), f"no red ring near ball {bid}"
+
+    # pot label appears on the frame after the ball disappears
+    bid, info = next(iter(pp.disappeared_balls.items()))
+    pframe = info["last_frame"] + 1
+    out2 = pp.draw_frame_overlay(np.zeros((H, W, 3), np.uint8), pframe, len(segs))
+    x, y = (int(v) for v in info["last_position"])
+    assert (out2[max(y - 15, 0) : y + 15, max(x - 15, 0) : x + 15] > 0).any()
+
+    # non-event frame far from everything stays black away from static overlay
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(len(segs))]
+    path = pp.visualize(frames, str(tmp_path), fps=2)
+    import os
+
+    assert os.path.isfile(path) and os.path.getsize(path) > 0
+    cap = cv2.VideoCapture(path)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == len(segs)
+    cap.release()
+
+
+def test_pipeline_visualize_option(tmp_path):
+    """DetSAM2Pipeline(visualize_postprocess=True) retains frames and
+    renders the overlay mp4 (Det_SAM2_pipeline.py:28,224-235)."""
+    from det_sam2_tpu.app.pipeline import DetSAM2Pipeline
+
+    class _FakeVP:
+        pre_frames = 0
+        max_frame_num_to_track = 2
+        special_classes_detection = [
+            np.asarray([70, 70, 130, 130], np.float32),
+            np.asarray([930, 0, 990, 50], np.float32),
+            np.asarray([1790, 70, 1850, 130], np.float32),
+            np.asarray([70, 690, 130, 750], np.float32),
+            np.asarray([930, 690, 990, 750], np.float32),
+            np.asarray([1790, 690, 1850, 750], np.float32),
+        ]
+
+        def __init__(self):
+            self.video_segments = {}
+            self._segs = _make_segments()
+            self.max_inference_state_frames = None
+
+        def process_frame(self, idx, frame):
+            if idx in self._segs:
+                self.video_segments[idx] = self._segs[idx]
+
+        def finish(self):
+            pass
+
+    vp = _FakeVP()
+    pipe = DetSAM2Pipeline(
+        vp, visualize_postprocess=True, output_video_dir=str(tmp_path)
+    )
+    frames = [np.zeros((H, W, 3), np.uint8) for _ in range(14)]
+    pp = pipe.inference(frames)
+    assert pp.ball_collision
+    import os
+
+    assert pipe.visualized_video_path is not None
+    assert os.path.isfile(pipe.visualized_video_path)
