@@ -48,6 +48,11 @@ class OptimConf:
     # reference lr schedule is cosine base_lr -> base_lr * end_ratio
     # (CosineParamScheduler start/end, yaml :259-267)
     cosine_end_ratio: float = 0.1
+    # per-option scheduling (reference training/optimizer.py:34-299: any
+    # optimizer option may carry a scheduler, evaluated at
+    # where = step/total each step). When set, weight decay follows the
+    # fvcore CosineParamScheduler curve weight_decay -> weight_decay_end.
+    weight_decay_end: Optional[float] = None
 
 
 def _wd_mask(params):
@@ -98,6 +103,40 @@ def lr_scale_tree(params, cfg: SAM2Config, conf: OptimConf):
     return jax.tree_util.tree_map_with_path(leaf, params)
 
 
+def cosine_param_schedule(start: float, end: float, total_steps: int):
+    """fvcore CosineParamScheduler evaluated at where = step/total:
+    value = end + 0.5*(start-end)*(1 + cos(pi*where)) (reference
+    training/optimizer.py option schedulers; trainer passes `where` as the
+    completed fraction of training)."""
+
+    def fn(count):
+        where = jnp.clip(count / max(total_steps, 1), 0.0, 1.0)
+        return end + 0.5 * (start - end) * (1.0 + jnp.cos(jnp.pi * where))
+
+    return fn
+
+
+def scheduled_add_decayed_weights(wd_fn, mask) -> optax.GradientTransformation:
+    """add_decayed_weights with a per-step-scheduled decay value (the optax
+    counterpart of the reference's per-option schedulers applied to
+    weight_decay)."""
+
+    def init_fn(params):
+        return optax.ScaleByScheduleState(count=jnp.zeros([], jnp.int32))
+
+    def update_fn(updates, state, params):
+        if params is None:
+            raise ValueError("scheduled weight decay requires params")
+        wd = wd_fn(state.count)
+        keep = mask(params) if callable(mask) else mask
+        updates = jax.tree_util.tree_map(
+            lambda u, p, k: u + wd * p if k else u, updates, params, keep
+        )
+        return updates, optax.ScaleByScheduleState(count=state.count + 1)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     conf: OptimConf,
     params=None,
@@ -111,21 +150,37 @@ def make_optimizer(
         end_value=conf.base_lr * conf.cosine_end_ratio,
     )
 
+    if conf.weight_decay_end is not None:
+        wd_fn = cosine_param_schedule(
+            conf.weight_decay, conf.weight_decay_end, conf.total_steps
+        )
+    else:
+        wd_fn = None
+
     use_groups = (
         params is not None
         and cfg is not None
         and (conf.layer_decay is not None or conf.vision_lr != conf.base_lr)
     )
     if not use_groups:
+        if wd_fn is None:
+            return optax.chain(
+                optax.clip_by_global_norm(conf.grad_clip_norm),
+                optax.adamw(
+                    learning_rate=schedule,
+                    b1=conf.b1,
+                    b2=conf.b2,
+                    weight_decay=conf.weight_decay,
+                    mask=_wd_mask,
+                ),
+            )
+        # torch decoupled-AdamW ordering with scheduled wd:
+        # p -= lr(t) * (adam_dir + wd(t) * p)
         return optax.chain(
             optax.clip_by_global_norm(conf.grad_clip_norm),
-            optax.adamw(
-                learning_rate=schedule,
-                b1=conf.b1,
-                b2=conf.b2,
-                weight_decay=conf.weight_decay,
-                mask=_wd_mask,
-            ),
+            optax.scale_by_adam(b1=conf.b1, b2=conf.b2),
+            scheduled_add_decayed_weights(wd_fn, _wd_mask),
+            optax.scale_by_learning_rate(schedule),
         )
 
     scales = lr_scale_tree(params, cfg, conf)
@@ -148,7 +203,9 @@ def make_optimizer(
     return optax.chain(
         optax.clip_by_global_norm(conf.grad_clip_norm),
         optax.scale_by_adam(b1=conf.b1, b2=conf.b2),
-        optax.add_decayed_weights(conf.weight_decay, mask=_wd_mask),
+        scheduled_add_decayed_weights(wd_fn, _wd_mask)
+        if wd_fn is not None
+        else optax.add_decayed_weights(conf.weight_decay, mask=_wd_mask),
         per_leaf_lr(),
     )
 

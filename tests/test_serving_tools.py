@@ -215,3 +215,89 @@ def test_sav_dataset_browsing(tmp_path):
     overlay = ds.render_overlay("vid0", 1, out_path=str(tmp_path / "o.png"))
     assert overlay.shape == (H, W, 3)
     assert (tmp_path / "o.png").exists()
+
+
+@pytest.mark.slow
+def test_cancel_mid_stream_then_session_usable(predictor, tmp_path_factory):
+    """Cancel arriving from a second connection mid-propagation stops the
+    ndjson stream early and leaves the session usable (reference behavior:
+    demo/backend app.py propagate route + predictor cancel)."""
+    from http.server import ThreadingHTTPServer
+
+    class PausingPredictor:
+        """Delegates to the real predictor but pauses after the first
+        propagated frame so the cancel deterministically lands mid-window."""
+
+        def __init__(self, inner):
+            self._inner = inner
+            self.first_yield = threading.Event()
+            self.resume = threading.Event()
+            self.paused_once = False
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def propagate_in_video(self, *a, **kw):
+            for i, item in enumerate(self._inner.propagate_in_video(*a, **kw)):
+                yield item
+                if i == 0 and not self.paused_once:
+                    self.paused_once = True
+                    self.first_yield.set()
+                    assert self.resume.wait(timeout=60)
+
+    pausing = PausingPredictor(predictor)
+    api = InferenceAPI(pausing)
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(api))
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    frames_dir = tmp_path_factory.mktemp("cancel_frames")
+    from PIL import Image
+
+    for i, f in enumerate(_frames(8)):
+        Image.fromarray(f).save(frames_dir / f"{i:05d}.png")
+
+    def post(route, payload, timeout=120):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{route}",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return urllib.request.urlopen(req, timeout=timeout)
+
+    with post("/start_session", {"video_path": str(frames_dir)}) as r:
+        sid = json.load(r)["session_id"]
+    with post("/add_box", {"session_id": sid, "frame_index": 0,
+                           "object_id": 1, "box": [8, 20, 32, 50]}):
+        pass
+
+    stream_lines = []
+
+    def consume_stream():
+        with post("/propagate_in_video",
+                  {"session_id": sid, "start_frame_index": 0}) as r:
+            for line in r:
+                stream_lines.append(json.loads(line))
+
+    t = threading.Thread(target=consume_stream)
+    t.start()
+    assert pausing.first_yield.wait(timeout=120)
+    # second connection cancels while the stream is paused mid-window
+    with post("/cancel_propagate_in_video", {"session_id": sid}) as r:
+        assert json.load(r)["success"]
+    pausing.resume.set()
+    t.join(timeout=120)
+    assert not t.is_alive()
+    assert 1 <= len(stream_lines) < 8, stream_lines
+
+    # the session stays usable: new prompt + a full (uncanceled) propagation
+    with post("/add_box", {"session_id": sid, "frame_index": 0,
+                           "object_id": 1, "box": [8, 20, 32, 50]}) as r:
+        assert json.load(r)["frame_index"] == 0
+    with post("/propagate_in_video",
+              {"session_id": sid, "start_frame_index": 0}) as r:
+        lines = [json.loads(l) for l in r.read().decode().splitlines()]
+    assert [l["frame_index"] for l in lines] == list(range(8))
+    with post("/close_session", {"session_id": sid}) as r:
+        assert json.load(r)["success"]
+    server.shutdown()

@@ -135,3 +135,70 @@ def test_train_step_runs_on_mesh():
     assert np.isfinite(float(metrics2[CORE_LOSS_KEY]))
     leaf_after = np.asarray(jax.tree_util.tree_leaves(params2)[0])
     assert np.abs(leaf_after - leaf_before).sum() > 0
+
+
+def test_scheduled_weight_decay_matches_torch():
+    """wd scheduled 0.1 -> 0.01 over training: the optax chain matches a
+    torch AdamW whose group weight_decay is set per step from the same
+    cosine curve (reference training/optimizer.py:34-299 option
+    schedulers; Optimizer.step_schedulers sets param_group[option] before
+    each step)."""
+    import torch
+
+    from det_sam2_tpu.training.train_step import cosine_param_schedule
+
+    total = 10
+    conf = OptimConf(
+        base_lr=1e-3, weight_decay=0.1, weight_decay_end=0.01,
+        warmup_steps=0, total_steps=total, cosine_end_ratio=0.1,
+        grad_clip_norm=1e9,  # disable clipping for exact comparison
+    )
+    opt = make_optimizer(conf)
+
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((4, 3)).astype(np.float32)
+    b0 = rng.standard_normal((3,)).astype(np.float32)
+    params = {"dense": {"kernel": jnp.asarray(w0), "bias": jnp.asarray(b0)}}
+    state = opt.init(params)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    tb = torch.nn.Parameter(torch.tensor(b0))
+    topt = torch.optim.AdamW(
+        [
+            {"params": [tw], "weight_decay": 0.1},
+            {"params": [tb], "weight_decay": 0.0},  # bias: wd masked
+        ],
+        lr=1.0, betas=(conf.b1, conf.b2), eps=1e-8,
+    )
+
+    wd_fn = cosine_param_schedule(0.1, 0.01, total)
+    lr_fn = __import__("optax").warmup_cosine_decay_schedule(
+        init_value=conf.base_lr, peak_value=conf.base_lr, warmup_steps=0,
+        decay_steps=total, end_value=conf.base_lr * conf.cosine_end_ratio,
+    )
+
+    for step_i in range(4):
+        gw = rng.standard_normal((4, 3)).astype(np.float32)
+        gb = rng.standard_normal((3,)).astype(np.float32)
+        grads = {"dense": {"kernel": jnp.asarray(gw), "bias": jnp.asarray(gb)}}
+        updates, state = opt.update(grads, state, params)
+        params = __import__("optax").apply_updates(params, updates)
+
+        # torch: set the scheduled lr/wd on the groups, then step
+        lr_t = float(lr_fn(step_i))
+        wd_t = float(wd_fn(step_i))
+        topt.param_groups[0]["lr"] = lr_t
+        topt.param_groups[0]["weight_decay"] = wd_t
+        topt.param_groups[1]["lr"] = lr_t
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        topt.step()
+
+        np.testing.assert_allclose(
+            np.asarray(params["dense"]["kernel"]), tw.detach().numpy(),
+            atol=2e-6, err_msg=f"kernel step {step_i}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(params["dense"]["bias"]), tb.detach().numpy(),
+            atol=2e-6, err_msg=f"bias step {step_i}",
+        )
