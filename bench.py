@@ -90,20 +90,77 @@ def bench_model(cfg) -> float:
     return REPEATS * WINDOW / dt
 
 
+def bench_train_step() -> float:
+    """One real train step on the chip (hiera-S 512^2, T=4, B=1, the Pallas
+    flash-VJP path active on the memory cross-attention). Reference
+    capability: training/trainer.py:845-889 on A100s."""
+    from det_sam2_tpu.training.train_step import (
+        OptimConf,
+        make_optimizer,
+        make_train_step,
+    )
+
+    cfg = with_image_size(sam2_1_hiera_s(), 512)
+    engine = SAM2Engine(cfg)
+    opt = make_optimizer(OptimConf(base_lr=1e-5, total_steps=100))
+    step = make_train_step(cfg, engine.model, opt)
+
+    t, s = 4, cfg.image_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((t, 1, s, s, 3)).astype(np.float32) * 0.2
+    )
+    gt = np.zeros((t, 1, s, s), np.float32)
+    gt[:, :, s // 4 : s // 2, s // 4 : s // 2] = 1.0
+    gt = jnp.asarray(gt)
+
+    params, opt_state = engine.params, opt.init(engine.params)
+    params, opt_state, metrics = step(
+        params, opt_state, images, gt, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(metrics["core_loss"]))  # also forces sync
+    reps = 5
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params, opt_state, metrics = step(
+            params, opt_state, images, gt, jax.random.PRNGKey(i + 1)
+        )
+    float(metrics["core_loss"])
+    return 1000.0 * (time.perf_counter() - t0) / reps
+
+
 def main():
     for name, cfg_fn in (("hiera_s", sam2_1_hiera_s), ("hiera_l", sam2_1_hiera_l)):
-        fps = bench_model(with_image_size(cfg_fn(), 768))
+        for size in (768, 1024):
+            fps = bench_model(with_image_size(cfg_fn(), size))
+            rec = {
+                "metric": f"propagate_fps_{name}_{size}_2obj",
+                "value": round(fps, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / BASELINE_FPS, 3),
+            }
+            if size != 768:
+                # the 24-FPS A100 baseline was measured for the 768^2
+                # model; no published A100 number exists at 1024^2 (the
+                # reference's native config resolution), so the ratio is
+                # conservative — an A100 would be slower at 1024
+                rec["baseline_note"] = "vs the 768^2 A100 baseline"
+            print(json.dumps(rec), flush=True)
+    try:
+        ms = bench_train_step()
         print(
             json.dumps(
                 {
-                    "metric": f"propagate_fps_{name}_768_2obj",
-                    "value": round(fps, 2),
-                    "unit": "frames/sec/chip",
-                    "vs_baseline": round(fps / BASELINE_FPS, 3),
+                    "metric": "train_step_ms_hiera_s_512_T4",
+                    "value": round(ms, 1),
+                    "unit": "ms/step",
+                    "vs_baseline": 0.0,  # no reference per-step time published
                 }
             ),
             flush=True,
         )
+    except Exception as e:  # never let the training metric break the bench
+        print(f"# train-step bench skipped: {e}", flush=True)
 
 
 if __name__ == "__main__":

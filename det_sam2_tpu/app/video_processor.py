@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import pickle
+import time
 from typing import Dict, List, Optional, Sequence, Set, Union
 
 import numpy as np
@@ -73,6 +74,13 @@ class VideoProcessor:
         self.special_classes_detection: List[np.ndarray] = []
         self._special_classes_count = 0
         self.pre_frames = 0
+        # wall-clock breakdown of the streaming loop (system bench): where
+        # the end-to-end time actually goes — detector, state upload, and
+        # the propagation windows (device compute + mask download)
+        self.stats: Dict[str, float] = {
+            "detect_s": 0.0, "update_state_s": 0.0,
+            "propagate_s": 0.0, "frames_propagated": 0,
+        }
 
     # ------------------------------------------------------------------
 
@@ -84,6 +92,10 @@ class VideoProcessor:
         self.special_classes_detection = []
         self._special_classes_count = 0
         self.pre_frames = 0
+        self.stats = {
+            "detect_s": 0.0, "update_state_s": 0.0,
+            "propagate_s": 0.0, "frames_propagated": 0,
+        }
 
     def detect_predict(
         self, images: Sequence[np.ndarray], past_num_frames: int
@@ -132,18 +144,24 @@ class VideoProcessor:
         """One buffer flush (Detect_and_SAM2_inference, det_sam2_RT.py
         :342-419)."""
         past = self.session.num_frames if self.session is not None else 0
+        t0 = time.perf_counter()
         detections = self.detect_predict(self.frame_buffer, past)
+        t1 = time.perf_counter()
+        self.stats["detect_s"] += t1 - t0
 
         if self.session is None:
             self.session = self.predictor.init_state(self.frame_buffer)
         else:
             self.predictor.update_state(self.frame_buffer, self.session)
         self.session.pre_frames = self.pre_frames
+        t2 = time.perf_counter()
+        self.stats["update_state_s"] += t2 - t1
 
         self.prompt_from_detections(detections)
         if self.session.num_objects == 0:
             return  # nothing prompted yet; wait for the first detection
 
+        t3 = time.perf_counter()
         for out_frame_idx, out_obj_ids, out_mask_logits in (
             self.predictor.propagate_in_video(
                 self.session,
@@ -157,6 +175,8 @@ class VideoProcessor:
                     obj_id: (out_mask_logits[i] > 0.0)
                     for i, obj_id in enumerate(out_obj_ids)
                 }
+            self.stats["frames_propagated"] += 1
+        self.stats["propagate_s"] += time.perf_counter() - t3
 
         if self.max_inference_state_frames != -1:
             self.predictor.release_old_frames(

@@ -185,9 +185,14 @@ def _flash_kernel_nobias(q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _safe_p(s, lse_row):
-    # fully-masked query rows have lse ~ -1e30; their P must be 0, not inf
-    safe = lse_row > _SKIP_THRESHOLD
-    return jnp.where(safe[:, None], jnp.exp(s - lse_row[:, None]), 0.0)
+    # fully-masked query rows have lse ~ -1e30; their P must be 0, not inf.
+    # NOTE: compare on the already-reshaped [BQ, 1] f32 column — reshaping a
+    # bool vector ([BQ] -> [BQ, 1]) is a Mosaic minor-dim insertion that is
+    # only legal for 32-bit types on TPU (fails to compile at block_q=768).
+    lse_col = lse_row[:, None]
+    return jnp.where(
+        lse_col > _SKIP_THRESHOLD, jnp.exp(s - lse_col), 0.0
+    )
 
 
 def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,

@@ -92,12 +92,25 @@ def main():
     segments = proc.run(frames)
     dt = time.perf_counter() - t0
     tracked = sum(len(v) for v in segments.values())
+    stats = proc.stats
+    prop_fps = (
+        stats["frames_propagated"] / stats["propagate_s"]
+        if stats["propagate_s"] else 0.0
+    )
     print(json.dumps({
         "metric": f"pipeline_fps_{model}_768_1080p",
         "value": round(n / dt, 2),
         "unit": "frames/sec end-to-end",
         "frames": n,
         "masks": tracked,
+        # where the wall-clock went: detector, state upload (tunnel-bound
+        # on this harness), propagation windows (device compute + mask
+        # download). propagation_fps counts re-tracked overlap frames.
+        "propagation_fps": round(prop_fps, 2),
+        "detect_s": round(stats["detect_s"], 2),
+        "update_state_s": round(stats["update_state_s"], 2),
+        "propagate_s": round(stats["propagate_s"], 2),
+        "frames_propagated": int(stats["frames_propagated"]),
     }), flush=True)
 
 

@@ -1,0 +1,102 @@
+"""On-chip HBM-flatness soak: thousands of frames through the streaming
+VideoProcessor on the real TPU, sampling device_memory_stats periodically.
+
+Closes the BASELINE.md "flat HBM across 10k+-frame videos" claim with
+hardware evidence (the CPU soak test in tests/test_soak.py covers the host
+stores; this drives the actual chip). The ring-buffer MemoryBank and the
+release_old_frames eviction mean bytes_in_use must be constant after the
+first full window, no matter how long the stream runs.
+
+Usage: python examples/soak_device.py [frames] [sample_every]
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from det_sam2_tpu.app.detector import CallableDetector
+from det_sam2_tpu.app.video_processor import VideoProcessor
+from det_sam2_tpu.configs import sam2_1_hiera_s, with_image_size
+from det_sam2_tpu.track import SAM2Engine
+from det_sam2_tpu.utils.profiling import device_memory_stats
+from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+H, W = 1080, 1920
+
+
+def _frame(t, base, yy, xx):
+    f = base.copy()
+    x = 100 + (6 * t) % (W - 300)
+    y = 200 + (3 * t) % (H - 500)
+    f[(yy - y) ** 2 + (xx - x) ** 2 < 28 ** 2] = (230, 230, 230)
+    return f
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2400
+    every = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+
+    def detect(img, idx):
+        m = (img > 180).all(-1)
+        ys, xs = np.nonzero(m)
+        if len(ys) < 50:
+            return []
+        return [(xs.min(), ys.min(), xs.max(), ys.max(), 0, 0.9)]
+
+    engine = SAM2Engine(
+        with_image_size(sam2_1_hiera_s(), 768), dtype=jnp.bfloat16
+    )
+    proc = VideoProcessor(
+        SAM2VideoPredictor(engine),
+        detector=CallableDetector(detect),
+        skip_classes=set(),
+        special_classes=0,
+        frame_buffer_size=30,
+        detect_interval=30,
+        max_frame_num_to_track=60,
+        max_inference_state_frames=60,
+    )
+
+    base = np.full((H, W, 3), (20, 90, 30), np.uint8)
+    yy, xx = np.mgrid[0:H, 0:W]
+
+    samples = []
+    t0 = time.perf_counter()
+    for t in range(n):
+        proc.process_frame(t, _frame(t, base, yy, xx))
+        # constant host memory: drop delivered segments like the pipeline
+        for k in [k for k in proc.video_segments if k < t - 120]:
+            proc.video_segments.pop(k)
+        if (t + 1) % every == 0:
+            stats = device_memory_stats()
+            gib = stats.get("bytes_in_use", 0) / 2**30
+            samples.append((t + 1, round(gib, 4)))
+            print(f"frame {t+1}: {gib:.4f} GiB in use "
+                  f"({(t+1)/(time.perf_counter()-t0):.1f} fps wall)",
+                  flush=True)
+    proc.finish()
+
+    gibs = [g for _, g in samples[1:]]  # skip the first (pre-steady-state)
+    flat = max(gibs) - min(gibs) < 0.05 if len(gibs) >= 2 else False
+    print(json.dumps({
+        "metric": "soak_device_hbm_gib",
+        "frames": n,
+        "samples": samples,
+        "hbm_flat": bool(flat),
+        "hbm_min_gib": min(gibs) if gibs else None,
+        "hbm_max_gib": max(gibs) if gibs else None,
+    }), flush=True)
+    assert flat, f"HBM not flat: {samples}"
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,76 @@ def test_main_cli_smoke(tmp_path, monkeypatch):
         ]
     )
     assert any(n.startswith("ckpt_") for n in os.listdir(ckpt_dir))
+
+
+@pytest.mark.slow
+def test_two_process_distributed_cpu(tmp_path):
+    """Real multi-process rendezvous: 2 processes x 4 CPU devices join via
+    init_distributed(coordinator, 2, pid); each contributes its local half
+    of the global batch and verifies the assembled global array + a psum
+    over the full mesh (the reference launcher's multiprocess mode,
+    train.py:28-123, re-expressed as jax.distributed)."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent(f"""
+        import os, sys
+        pid = int(sys.argv[1])
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=4"
+        )
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        import numpy as np
+        from det_sam2_tpu.training.launch import (
+            host_local_batch_to_global, init_distributed, make_global_mesh,
+        )
+        got_pid, got_count = init_distributed(
+            coordinator_address="127.0.0.1:{port}",
+            num_processes=2, process_id=pid,
+        )
+        assert (got_pid, got_count) == (pid, 2), (got_pid, got_count)
+        assert jax.device_count() == 8 and jax.local_device_count() == 4
+        mesh = make_global_mesh()
+        # each process feeds its local 4 rows of the global batch of 8
+        local = np.full((2, 4, 3), float(pid), np.float32)
+        (g,) = host_local_batch_to_global(mesh, (local,), axis=1)
+        assert g.shape == (2, 8, 3), g.shape
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        total = jax.jit(
+            lambda x: jax.numpy.sum(x),
+            out_shardings=NamedSharding(mesh, P()),
+        )(g)
+        # halves are 0s and 1s -> the global sum is 2*4*3 = 24
+        assert float(total) == 24.0, float(total)
+        print(f"worker {{pid}} ok", flush=True)
+    """))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"worker {i} ok" in out

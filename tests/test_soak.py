@@ -86,3 +86,29 @@ def test_soak_flat_memory():
     # device bank is static by construction
     s = proc.session
     assert s.bank.cond_mem.shape[0] == s.cfg.cond_bank_size
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    os.environ.get("SOAK_DEVICE") != "1",
+    reason="on-chip soak is opt-in (SOAK_DEVICE=1); needs the real TPU",
+)
+def test_soak_on_device():
+    """Drives examples/soak_device.py in a fresh process (the test suite
+    pins this process to the CPU mesh; the subprocess gets the real chip)
+    and asserts the reported HBM flatness."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # let the subprocess see the TPU
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "examples", "soak_device.py"),
+         os.environ.get("SOAK_FRAMES", "2000"), "200"],
+        capture_output=True, text=True, timeout=7200, env=env, cwd=repo,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    record = json.loads(out.stdout.strip().splitlines()[-1])
+    assert record["hbm_flat"] is True
