@@ -63,6 +63,13 @@ class TrainerConf:
     prompt_sim: Optional["PromptSimConf"] = None
     clip_length: int = 8  # frames per clip (schedules are sampled per step)
     seed: int = 0
+    # requeue / preemption story (the TPU-pod analogue of the reference's
+    # SLURM requeue, training/train.py submitit + trainer resume): when
+    # True, run() first restores the newest ckpt_* under checkpoint_dir,
+    # and a SIGTERM (maintenance-event preemption) checkpoints the current
+    # epoch before the process exits so the relaunched job resumes there.
+    auto_resume: bool = False
+    checkpoint_on_sigterm: bool = False
 
 
 class AverageMeter:
@@ -418,11 +425,56 @@ class Trainer:
         self._log_scalars({"step": self.global_step, **out})
         return out
 
+    def latest_checkpoint(self) -> Optional[str]:
+        """Newest ckpt_* under checkpoint_dir, or None."""
+        if not self.conf.checkpoint_dir or not os.path.isdir(
+            self.conf.checkpoint_dir
+        ):
+            return None
+        names = sorted(
+            n for n in os.listdir(self.conf.checkpoint_dir)
+            if n.startswith("ckpt_")
+        )
+        return (
+            os.path.join(self.conf.checkpoint_dir, names[-1])
+            if names else None
+        )
+
     def run(self, data_loader) -> None:
         """data_loader: object with .batches(n) -> iterator of
         (images [T,B,S,S,3], gt [T,B,S,S]) numpy pairs."""
+        if self.conf.auto_resume:
+            latest = self.latest_checkpoint()
+            if latest is not None:
+                self.load_checkpoint(latest)
+
+        self._current_epoch = self.start_epoch
+        sigterm_prev = None
+        if self.conf.checkpoint_on_sigterm:
+            import signal
+
+            def _on_sigterm(signum, frame):
+                logger.warning(
+                    "SIGTERM: checkpointing epoch %d before exit",
+                    self._current_epoch,
+                )
+                self.save_checkpoint(self._current_epoch - 1)
+                raise SystemExit(143)
+
+            sigterm_prev = signal.signal(signal.SIGTERM, _on_sigterm)
+
+        try:
+            self._run_epochs(data_loader)
+        finally:
+            if sigterm_prev is not None:
+                import signal
+
+                signal.signal(signal.SIGTERM, sigterm_prev)
+
+    def _run_epochs(self, data_loader) -> None:
         rng = np.random.default_rng(self.conf.seed)
         for epoch in range(self.start_epoch, self.conf.num_epochs):
+            self._current_epoch = epoch
             meter = AverageMeter("core_loss")
             tic = time.time()
             for i, (images, gt) in enumerate(

@@ -223,3 +223,68 @@ def test_meters():
     p = ProgressMeter(100, [a, m, d], prefix="ep1 ")
     line = p.format(7)
     assert line.startswith("ep1 [  7/100]") and "loss: 3.0000" in line
+
+
+@pytest.mark.slow
+def test_auto_resume_and_sigterm_checkpoint(tmp_path):
+    """Requeue story: SIGTERM mid-epoch checkpoints before exit; a
+    relaunched trainer with auto_resume picks the newest ckpt_* up and
+    continues from the interrupted epoch (reference analogue: submitit
+    SLURM requeue + trainer resume, training/train.py)."""
+    import os
+    import signal
+
+    cfg = tiny_test_config()
+    engine = SAM2Engine(cfg)
+    conf = TrainerConf(
+        num_epochs=3, steps_per_epoch=1, log_every=1,
+        checkpoint_dir=str(tmp_path), prompt_kind_probs={"box": 1.0},
+        num_correction_steps=0, checkpoint_on_sigterm=True,
+    )
+    trainer = Trainer(
+        cfg, engine, OptimConf(base_lr=1e-4, total_steps=3, warmup_steps=1),
+        conf,
+    )
+    ds = SyntheticRawDataset(num_videos=2, num_frames=3)
+
+    class PreemptingLoader:
+        """Delivers one good batch (epoch 0 completes + checkpoints), then
+        SIGTERMs its own process at the start of epoch 1."""
+
+        def __init__(self):
+            self.loader = VOSDataLoader(
+                ds, RandomUniformSampler(num_frames=2),
+                image_size=cfg.image_size, batch_size=8,
+            )
+            self.calls = 0
+
+        def batches(self, n):
+            self.calls += 1
+            if self.calls == 2:
+                os.kill(os.getpid(), signal.SIGTERM)
+            yield from self.loader.batches(n)
+
+    with pytest.raises(SystemExit) as exc:
+        trainer.run(PreemptingLoader())
+    assert exc.value.code == 143
+    names = sorted(n for n in os.listdir(tmp_path) if n.startswith("ckpt_"))
+    assert names, "SIGTERM did not checkpoint"
+
+    # relaunch: auto_resume restores the newest checkpoint and finishes
+    engine2 = SAM2Engine(cfg)
+    conf2 = TrainerConf(
+        num_epochs=2, steps_per_epoch=1, log_every=1,
+        checkpoint_dir=str(tmp_path), prompt_kind_probs={"box": 1.0},
+        num_correction_steps=0, auto_resume=True,
+    )
+    trainer2 = Trainer(
+        cfg, engine2, OptimConf(base_lr=1e-4, total_steps=3, warmup_steps=1),
+        conf2,
+    )
+    loader2 = VOSDataLoader(
+        ds, RandomUniformSampler(num_frames=2),
+        image_size=cfg.image_size, batch_size=8,
+    )
+    trainer2.run(loader2)
+    assert trainer2.start_epoch >= 1  # resumed, did not restart from 0
+    assert trainer2.global_step >= 2
