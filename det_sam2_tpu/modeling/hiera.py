@@ -213,9 +213,45 @@ class MultiScaleBlock(nn.Module):
     window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
+    # resident-window mode: input is ALREADY partitioned ([B*nW, ws, ws, C])
+    # and stays partitioned — valid only for windowed blocks with no
+    # q-pool and no dim change (norm/attn/mlp are all window-local, so the
+    # values are identical; the per-block partition/unpartition relayout
+    # copies disappear). The caller (Hiera) partitions once per run of
+    # such blocks: ~20% of the 1024^2 hiera-L encoder was relayout copies.
+    pre_windowed: bool = False
 
     @nn.compact
-    def __call__(self, x):  # [B, H, W, C]
+    def __call__(self, x):  # [B, H, W, C] (or windows when pre_windowed)
+        if self.pre_windowed:
+            assert (
+                self.window_size > 0
+                and self.q_stride is None
+                and self.dim == self.dim_out
+            )
+            shortcut = x
+            x = LayerNorm(eps=1e-6, name="norm1")(x)
+            x = MultiScaleAttention(
+                dim_out=self.dim_out,
+                num_heads=self.num_heads,
+                q_pool=False,
+                attention_fn=self.attention_fn,
+                window_attention_fn=self.window_attention_fn,
+                dtype=self.dtype,
+                name="attn",
+            )(x)
+            x = shortcut + x
+            y = LayerNorm(eps=1e-6, name="norm2")(x)
+            y = MLP(
+                hidden_dim=int(self.dim_out * self.mlp_ratio),
+                output_dim=self.dim_out,
+                num_layers=2,
+                activation=self.gelu,
+                dtype=self.dtype,
+                name="mlp",
+            )(y)
+            return x + y
+
         shortcut = x
         x = LayerNorm(eps=1e-6, name="norm1")(x)
 
@@ -313,6 +349,16 @@ class Hiera(nn.Module):
 
         outputs: List[jnp.ndarray] = []
         embed_dim, num_heads, cur_stage = c.embed_dim, c.num_heads, 1
+        # resident-window bookkeeping: keep x partitioned across runs of
+        # consecutive same-window blocks; unpartition only for global /
+        # q-pool / dim-change blocks and stage outputs
+        in_win = False
+        win_meta: Optional[Tuple[int, Tuple[int, int], Tuple[int, int]]] = None
+
+        def unpart(xw):
+            ws_, pad_hw_, hw_ = win_meta
+            return window_unpartition(xw, ws_, pad_hw_, hw_)
+
         for i in range(c.depth):
             dim_out = embed_dim
             window_size = c.window_spec[cur_stage - 1]
@@ -322,6 +368,20 @@ class Hiera(nn.Module):
                 dim_out = int(embed_dim * c.dim_mul)
                 num_heads = int(num_heads * c.head_mul)
                 cur_stage += 1
+            simple = (
+                window_size > 0
+                and dim_out == embed_dim
+                and i not in q_pool_blocks
+            )
+            if simple:
+                if not in_win:
+                    hw = (x.shape[1], x.shape[2])
+                    x, pad_hw = window_partition(x, window_size)
+                    win_meta = (window_size, pad_hw, hw)
+                    in_win = True
+            elif in_win:
+                x = unpart(x)
+                in_win = False
             x = MultiScaleBlock(
                 dim=embed_dim,
                 dim_out=dim_out,
@@ -333,9 +393,13 @@ class Hiera(nn.Module):
                 window_attention_fn=self.window_attention_fn,
                 gelu=self.gelu,
                 dtype=self.dtype,
+                pre_windowed=simple,
                 name=f"blocks_{i}",
             )(x)
             embed_dim = dim_out
             if i in stage_ends:
+                if in_win:
+                    x = unpart(x)
+                    in_win = False
                 outputs.append(x)
         return outputs

@@ -297,7 +297,10 @@ class SAM2Engine:
         """Track one (unprompted) frame: memory-read -> SAM heads ->
         memory-write. Returns (new_bank, outputs)."""
         if obj_valid is None:
-            obj_valid = jnp.ones((bank.num_objects,), bool)
+            # host-side: a jnp default here would device_put then download
+            # again at the np.asarray below (and bool readbacks are not
+            # even supported over some device tunnels)
+            obj_valid = np.ones((bank.num_objects,), bool)
         return self._track_step_fn(bool(reverse))(
             {"params": self.params}, feats, bank,
             np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
