@@ -155,14 +155,20 @@ class MultiScaleAttention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, C] (windows stacked in B)
-        b, h, w, _ = x.shape
+    def __call__(self, x):  # [B, H, W, C] (windows stacked in B) or [B, N, C]
+        flat = x.ndim == 3  # resident-window mode feeds flattened windows
+        if flat:
+            b, n, _ = x.shape
+            h = w = None
+        else:
+            b, h, w, _ = x.shape
+            n = h * w
         q, k, v = QKVProj(
             dim_out=self.dim_out,
             num_heads=self.num_heads,
             dtype=self.dtype,
             name="qkv",
-        )(x.reshape(b, h * w, -1))
+        )(x.reshape(b, n, -1))
         oh, ow = h, w
         if self.q_pool:
             q = q.reshape(b, h, w, -1)
@@ -196,6 +202,8 @@ class MultiScaleAttention(nn.Module):
             v = v.transpose(0, 2, 1, 3)
             o = self.attention_fn(q, k, v)
         o = OutProj(dim_out=self.dim_out, dtype=self.dtype, name="proj")(o)
+        if flat:
+            return o  # [B, N, dim_out]
         return o.reshape(b, oh, ow, -1)
 
 
@@ -354,9 +362,11 @@ class Hiera(nn.Module):
         # q-pool / dim-change blocks and stage outputs
         in_win = False
         win_meta: Optional[Tuple[int, Tuple[int, int], Tuple[int, int]]] = None
+        cur_h, cur_w = h, w  # spatial dims of the residual stream
 
         def unpart(xw):
             ws_, pad_hw_, hw_ = win_meta
+            xw = xw.reshape(xw.shape[0], ws_, ws_, xw.shape[-1])
             return window_unpartition(xw, ws_, pad_hw_, hw_)
 
         for i in range(c.depth):
@@ -372,11 +382,18 @@ class Hiera(nn.Module):
                 window_size > 0
                 and dim_out == embed_dim
                 and i not in q_pool_blocks
+                # resident mode only when windows tile exactly — otherwise
+                # norm/MLP would run on the zero padding (e.g. hiera-S
+                # stage 3: 48 % 14 != 0 pads 48->56, +36% tokens)
+                and cur_h % window_size == 0
+                and cur_w % window_size == 0
             )
             if simple:
                 if not in_win:
                     hw = (x.shape[1], x.shape[2])
                     x, pad_hw = window_partition(x, window_size)
+                    # flatten window tokens: blocks run on [B*nW, ws^2, C]
+                    x = x.reshape(x.shape[0], -1, x.shape[-1])
                     win_meta = (window_size, pad_hw, hw)
                     in_win = True
             elif in_win:
@@ -397,6 +414,9 @@ class Hiera(nn.Module):
                 name=f"blocks_{i}",
             )(x)
             embed_dim = dim_out
+            if i in q_pool_blocks:
+                cur_h //= 2  # max_pool 2x2 stride 2, VALID (floor)
+                cur_w //= 2
             if i in stage_ends:
                 if in_win:
                     x = unpart(x)
