@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 
 from det_sam2_tpu.configs import HieraConfig
-from det_sam2_tpu.modeling.layers import LayerNorm, MLP, exact_gelu, sdpa
+from det_sam2_tpu.modeling.layers import (
+    LayerNorm,
+    MLP,
+    approx_gelu,
+    exact_gelu,
+    sdpa,
+)
+from det_sam2_tpu.ops.fused_mlp import fused_ln_mlp
 from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
 
 
@@ -228,6 +235,43 @@ class MultiScaleBlock(nn.Module):
     # copies disappear). The caller (Hiera) partitions once per run of
     # such blocks: ~20% of the 1024^2 hiera-L encoder was relayout copies.
     pre_windowed: bool = False
+    use_fused_mlp: bool = False  # opt-in Pallas MLP tail (see _mlp_tail)
+
+    def _mlp_tail(self, x):
+        """x + mlp(ln2(x)). use_fused_mlp routes through the Pallas
+        fused LN+MLP+residual kernel (ops/fused_mlp.py) — measured SLOWER
+        than XLA's pipeline for Hiera's shapes on v5e (hiera-L encoder
+        53.0 vs 55.4 FPS @768^2, 28.7 vs 30.8 @1024^2, even with VMEM-
+        resident weights), so it is off by default; XLA's own fusion of
+        the LN/gelu elementwise work into the matmuls plus its layout
+        freedom beats a hand kernel here, same verdict as the Pallas
+        trunk window-attention kernels. Parameter trees are identical
+        either way."""
+        hidden = int(self.dim_out * self.mlp_ratio)
+        if self.use_fused_mlp and self.gelu in (exact_gelu, approx_gelu):
+            g, b = LayerNorm(eps=1e-6, name="norm2", return_params=True)(x)
+            (w1, b1), (w2, b2) = MLP(
+                hidden_dim=hidden,
+                output_dim=self.dim_out,
+                num_layers=2,
+                dtype=self.dtype,
+                name="mlp",
+                return_params=True,
+            )(x)
+            return fused_ln_mlp(
+                x, g, b, w1, b1, w2, b2,
+                approximate=self.gelu is approx_gelu,
+            )
+        y = LayerNorm(eps=1e-6, name="norm2")(x)
+        y = MLP(
+            hidden_dim=hidden,
+            output_dim=self.dim_out,
+            num_layers=2,
+            activation=self.gelu,
+            dtype=self.dtype,
+            name="mlp",
+        )(y)
+        return x + y
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] (or windows when pre_windowed)
@@ -249,16 +293,7 @@ class MultiScaleBlock(nn.Module):
                 name="attn",
             )(x)
             x = shortcut + x
-            y = LayerNorm(eps=1e-6, name="norm2")(x)
-            y = MLP(
-                hidden_dim=int(self.dim_out * self.mlp_ratio),
-                output_dim=self.dim_out,
-                num_layers=2,
-                activation=self.gelu,
-                dtype=self.dtype,
-                name="mlp",
-            )(y)
-            return x + y
+            return self._mlp_tail(x)
 
         shortcut = x
         x = LayerNorm(eps=1e-6, name="norm1")(x)
@@ -293,16 +328,7 @@ class MultiScaleBlock(nn.Module):
             x = window_unpartition(x, ws, pad_hw, (h, w))
 
         x = shortcut + x
-        y = LayerNorm(eps=1e-6, name="norm2")(x)
-        y = MLP(
-            hidden_dim=int(self.dim_out * self.mlp_ratio),
-            output_dim=self.dim_out,
-            num_layers=2,
-            activation=self.gelu,
-            dtype=self.dtype,
-            name="mlp",
-        )(y)
-        return x + y
+        return self._mlp_tail(x)
 
 
 class Hiera(nn.Module):
