@@ -51,6 +51,10 @@ class DetSAM2Pipeline:
         # reference Det_SAM2_pipeline.py:28,224-235: when the viz flag is
         # on, every raw frame is retained and the postprocessor's event
         # overlay is rendered to an mp4 after inference completes
+        if visualize_postprocess and output_video_dir is None:
+            raise ValueError(
+                "visualize_postprocess=True requires output_video_dir"
+            )
         self.visualize_postprocess = visualize_postprocess
         self.output_video_dir = output_video_dir
         self.retained_frames: list = []

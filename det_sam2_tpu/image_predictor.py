@@ -52,17 +52,31 @@ class SAM2ImagePredictor:
         self._features = self.engine.encode_image(jnp.asarray(frame)[None])
         self._is_image_set = True
 
-    def set_image_batch(self, image_list: List[np.ndarray]) -> None:
-        """Embed several images in ONE batched FPN forward (reference
+    def set_image_batch(
+        self, image_list: List[np.ndarray], max_chunk: int = 8
+    ) -> None:
+        """Embed several images in batched FPN forwards (reference
         sam2_image_predictor.py:131-173 set_image_batch). On TPU the batched
         encode keeps the MXU busy across images instead of dispatching B
-        separate graphs; per-image features are sliced out afterwards."""
+        separate graphs; per-image features are sliced out afterwards.
+
+        Encoder activations scale linearly with batch, so batches larger
+        than `max_chunk` are encoded in chunks (feature outputs are small
+        and concatenate cheaply) to bound peak HBM — e.g. AMG with
+        crop_n_layers=2 hands this 21 full-resolution crops."""
         self.reset_predictor()
         self._orig_hw_list = [im.shape[:2] for im in image_list]
         frames = np.stack(
             [prepare_frame(im, self.image_size) for im in image_list]
         )
-        self._batch_features = self.engine.encode_image(jnp.asarray(frames))
+        chunks = [
+            self.engine.encode_image(jnp.asarray(frames[i : i + max_chunk]))
+            for i in range(0, len(frames), max_chunk)
+        ]
+        self._batch_features = tuple(
+            jnp.concatenate([c[k] for c in chunks], axis=0)
+            for k in range(len(chunks[0]))
+        )
         self._is_batch = True
         self._is_image_set = True
 
@@ -102,6 +116,11 @@ class SAM2ImagePredictor:
         (reference predict :~170-260)."""
         if not self._is_image_set:
             raise RuntimeError("call set_image before predict")
+        if self._features is None:
+            raise RuntimeError(
+                "predict() after set_image_batch requires select_batch_image"
+                " to pin one image (or use predict_batch)"
+            )
         coords, labels = self._prepare_prompts(
             point_coords, point_labels, box, normalize_coords
         )

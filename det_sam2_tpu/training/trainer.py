@@ -17,6 +17,7 @@ import dataclasses
 import json
 import logging
 import os
+import re
 import time
 from typing import Optional
 
@@ -431,9 +432,11 @@ class Trainer:
             self.conf.checkpoint_dir
         ):
             return None
+        # exact ckpt_<digits> only: a killed run can leave orbax temp dirs
+        # (ckpt_NNNN.orbax-checkpoint-tmp-*) that must not be resumed from
         names = sorted(
             n for n in os.listdir(self.conf.checkpoint_dir)
-            if n.startswith("ckpt_")
+            if re.fullmatch(r"ckpt_\d+", n)
         )
         return (
             os.path.join(self.conf.checkpoint_dir, names[-1])

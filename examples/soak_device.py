@@ -77,8 +77,8 @@ def main():
         for k in [k for k in proc.video_segments if k < t - 120]:
             proc.video_segments.pop(k)
         if (t + 1) % every == 0:
-            stats = device_memory_stats()
-            gib = stats.get("bytes_in_use", 0) / 2**30
+            raw = jax.local_devices()[0].memory_stats() or {}
+            gib = raw.get("bytes_in_use", 0) / 2**30
             source = "bytes_in_use"
             if gib == 0:
                 # this harness's tunneled device reports no memory_stats;

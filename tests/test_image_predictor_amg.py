@@ -137,6 +137,10 @@ def test_set_image_batch_parity(image_predictor):
     lbl = [np.asarray([1]), np.asarray([1])]
 
     image_predictor.set_image_batch(imgs)
+    # single-image predict() without pinning an image must fail loudly,
+    # not crash deep in coordinate transforms
+    with pytest.raises(RuntimeError, match="select_batch_image"):
+        image_predictor.predict(point_coords=pts[0], point_labels=lbl[0])
     bmasks, bious, blow = image_predictor.predict_batch(
         pts, lbl, multimask_output=True
     )
@@ -151,6 +155,15 @@ def test_set_image_batch_parity(image_predictor):
         )
         np.testing.assert_array_equal(bmasks[i], masks)
         np.testing.assert_allclose(bious[i], ious, atol=1e-4)
+
+    # chunked encode (max_chunk below the batch size, the HBM-bounding
+    # path AMG's 21-crop fan-out takes) must reproduce the same features
+    image_predictor.set_image_batch(imgs, max_chunk=1)
+    cmasks, cious, _ = image_predictor.predict_batch(
+        pts, lbl, multimask_output=True
+    )
+    for i in range(2):
+        np.testing.assert_array_equal(cmasks[i], bmasks[i])
 
 
 @pytest.mark.slow

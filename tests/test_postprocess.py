@@ -188,6 +188,9 @@ def test_pipeline_visualize_option(tmp_path):
             pass
 
     vp = _FakeVP()
+    # misconfiguration is rejected up front, not after a full inference run
+    with pytest.raises(ValueError, match="output_video_dir"):
+        DetSAM2Pipeline(_FakeVP(), visualize_postprocess=True)
     pipe = DetSAM2Pipeline(
         vp, visualize_postprocess=True, output_video_dir=str(tmp_path)
     )

@@ -270,6 +270,12 @@ def test_auto_resume_and_sigterm_checkpoint(tmp_path):
     names = sorted(n for n in os.listdir(tmp_path) if n.startswith("ckpt_"))
     assert names, "SIGTERM did not checkpoint"
 
+    # a killed save can leave an unfinalized orbax temp dir that sorts
+    # after the real checkpoint; auto_resume must never pick it
+    fake_tmp = tmp_path / f"{names[-1]}.orbax-checkpoint-tmp-1234567"
+    fake_tmp.mkdir()
+    assert trainer.latest_checkpoint() == str(tmp_path / names[-1])
+
     # relaunch: auto_resume restores the newest checkpoint and finishes
     engine2 = SAM2Engine(cfg)
     conf2 = TrainerConf(
