@@ -31,6 +31,7 @@ from det_sam2_tpu.modeling.layers import (
     exact_gelu,
     sdpa,
 )
+from det_sam2_tpu.ops import quant
 from det_sam2_tpu.ops.fused_mlp import fused_ln_mlp
 from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
 
@@ -103,10 +104,35 @@ class QKVProj(nn.Module):
     dim_out: int
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False  # int8 weights + per-token int8 activations
 
     @nn.compact
     def __call__(self, x):  # [B, N, Cin] -> 3 x [B, N, heads, D]
         cin = x.shape[-1]
+        b_, n_ = x.shape[0], x.shape[1]
+        if self.quant:
+            w_q = self.param(
+                "kernel_q", quant.init_int8_zeros, (cin, 3 * self.dim_out)
+            )
+            w_s = self.param(
+                "kernel_scale", nn.initializers.ones, (1, 3 * self.dim_out)
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (3 * self.dim_out,)
+            )
+            k3 = w_q.reshape(cin, 3, self.dim_out)
+            s3 = w_s.reshape(3, self.dim_out)
+            b3 = bias.astype(self.dtype).reshape(3, self.dim_out)
+            x_q, s_row = quant.quantize_rows(x)  # quantize once, use 3x
+            return [
+                (
+                    quant.int8_matmul_prequant(
+                        x_q, s_row, k3[:, i], s3[i], self.dtype
+                    )
+                    + b3[i]
+                ).reshape(b_, n_, self.num_heads, -1)
+                for i in range(3)
+            ]
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -115,7 +141,6 @@ class QKVProj(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (3 * self.dim_out,))
         k3 = kernel.astype(self.dtype).reshape(cin, 3, self.dim_out)
         b3 = bias.astype(self.dtype).reshape(3, self.dim_out)
-        b_, n_ = x.shape[0], x.shape[1]
         return [
             (x @ k3[:, i] + b3[i]).reshape(b_, n_, self.num_heads, -1)
             for i in range(3)
@@ -133,10 +158,36 @@ class OutProj(nn.Module):
 
     dim_out: int
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, o):  # o: [B, heads, N, D] -> [B, N, dim_out]
         b, h, n, d = o.shape
+        if self.quant:
+            w_q = self.param(
+                "kernel_q", quant.init_int8_zeros, (h * d, self.dim_out)
+            )
+            w_s = self.param(
+                "kernel_scale", nn.initializers.ones, (1, self.dim_out)
+            )
+            bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
+            # per-token rows span (heads, D): quantize over both axes so
+            # the int8 einsum contracts the same pair the fp path does
+            of = o.astype(jnp.float32)
+            absmax = jnp.max(jnp.abs(of), axis=(1, 3), keepdims=True)
+            s_row = jnp.maximum(absmax, 1e-12) / 127.0
+            o_q = jnp.clip(jnp.round(of / s_row), -127, 127).astype(jnp.int8)
+            k3 = w_q.reshape(h, d, self.dim_out)
+            y = jnp.einsum(
+                "bhnd,hdc->bnc", o_q, k3,
+                preferred_element_type=jnp.int32,
+            )
+            y = (
+                y.astype(jnp.float32)
+                * s_row.reshape(b, n, 1)  # [b,1,n,1] -> per-(b,n) rescale
+                * w_s.reshape(-1)
+            )
+            return y.astype(self.dtype) + bias.astype(self.dtype)
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (h * d, self.dim_out)
         )
@@ -160,6 +211,7 @@ class MultiScaleAttention(nn.Module):
     attention_fn: Callable = sdpa
     window_attention_fn: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] (windows stacked in B) or [B, N, C]
@@ -174,6 +226,7 @@ class MultiScaleAttention(nn.Module):
             dim_out=self.dim_out,
             num_heads=self.num_heads,
             dtype=self.dtype,
+            quant=self.quant,
             name="qkv",
         )(x.reshape(b, n, -1))
         oh, ow = h, w
@@ -208,7 +261,10 @@ class MultiScaleAttention(nn.Module):
             k = k.transpose(0, 2, 1, 3)
             v = v.transpose(0, 2, 1, 3)
             o = self.attention_fn(q, k, v)
-        o = OutProj(dim_out=self.dim_out, dtype=self.dtype, name="proj")(o)
+        o = OutProj(
+            dim_out=self.dim_out, dtype=self.dtype, quant=self.quant,
+            name="proj",
+        )(o)
         if flat:
             return o  # [B, N, dim_out]
         return o.reshape(b, oh, ow, -1)
@@ -236,6 +292,7 @@ class MultiScaleBlock(nn.Module):
     # such blocks: ~20% of the 1024^2 hiera-L encoder was relayout copies.
     pre_windowed: bool = False
     use_fused_mlp: bool = False  # opt-in Pallas MLP tail (see _mlp_tail)
+    quant: bool = False  # opt-in int8 trunk dense layers (ops/quant.py)
 
     def _mlp_tail(self, x):
         """x + mlp(ln2(x)). use_fused_mlp routes through the Pallas
@@ -248,6 +305,18 @@ class MultiScaleBlock(nn.Module):
         trunk window-attention kernels. Parameter trees are identical
         either way."""
         hidden = int(self.dim_out * self.mlp_ratio)
+        if self.quant:
+            y = LayerNorm(eps=1e-6, name="norm2")(x)
+            y = MLP(
+                hidden_dim=hidden,
+                output_dim=self.dim_out,
+                num_layers=2,
+                activation=self.gelu,
+                dtype=self.dtype,
+                quant=True,
+                name="mlp",
+            )(y)
+            return x + y
         if self.use_fused_mlp and self.gelu in (exact_gelu, approx_gelu):
             g, b = LayerNorm(eps=1e-6, name="norm2", return_params=True)(x)
             (w1, b1), (w2, b2) = MLP(
@@ -290,6 +359,7 @@ class MultiScaleBlock(nn.Module):
                 attention_fn=self.attention_fn,
                 window_attention_fn=self.window_attention_fn,
                 dtype=self.dtype,
+                quant=self.quant,
                 name="attn",
             )(x)
             x = shortcut + x
@@ -299,7 +369,12 @@ class MultiScaleBlock(nn.Module):
         x = LayerNorm(eps=1e-6, name="norm1")(x)
 
         if self.dim != self.dim_out:
-            proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
+            if self.quant:
+                proj = quant.QuantDense(
+                    self.dim_out, dtype=self.dtype, name="proj"
+                )(x)
+            else:
+                proj = nn.Dense(self.dim_out, dtype=self.dtype, name="proj")(x)
             shortcut = _max_pool_2x(proj) if self.q_stride else proj
 
         ws = self.window_size
@@ -314,6 +389,7 @@ class MultiScaleBlock(nn.Module):
             attention_fn=self.attention_fn,
             window_attention_fn=self.window_attention_fn,
             dtype=self.dtype,
+            quant=self.quant,
             name="attn",
         )(x)
 
@@ -340,7 +416,6 @@ class Hiera(nn.Module):
     window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
-
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         c = self.cfg
@@ -437,6 +512,8 @@ class Hiera(nn.Module):
                 gelu=self.gelu,
                 dtype=self.dtype,
                 pre_windowed=simple,
+                use_fused_mlp=c.use_fused_mlp,
+                quant=c.quantize_int8,
                 name=f"blocks_{i}",
             )(x)
             embed_dim = dim_out

@@ -66,9 +66,22 @@ class MLP(nn.Module):
     sigmoid_output: bool = False
     dtype: Dtype = jnp.float32
     return_params: bool = False
+    quant: bool = False  # int8 weights (ops/quant.py); trunk opt-in only
 
     @nn.compact
     def __call__(self, x):
+        if self.quant:
+            from det_sam2_tpu.ops.quant import QuantDense
+
+            for i in range(self.num_layers):
+                is_last = i == self.num_layers - 1
+                dim = self.output_dim if is_last else self.hidden_dim
+                x = QuantDense(dim, dtype=self.dtype, name=f"layers_{i}")(x)
+                if not is_last:
+                    x = self.activation(x)
+            if self.sigmoid_output:
+                x = jax.nn.sigmoid(x)
+            return x
         if self.return_params:
             leaves = []
             dim_in = x.shape[-1]

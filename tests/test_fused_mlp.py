@@ -52,8 +52,11 @@ def test_kernel_row_remainder():
 
 
 def test_kernel_hidden_blocking():
-    # hidden > 1152 exercises the multi-step hidden-block accumulation
-    x, g, b, w1, b1, w2, b2 = _args(r=64, d=576, h=2304)
+    # hiera-L stage-4 width: W1+W2 = 4*1152*4608 = 21 MB > the 8 MB VMEM
+    # residency cap, so the interpret branch picks block_h=512 -> n_h=9
+    # hidden steps — the only path that exercises the multi-step
+    # accumulate/revisit logic in _kernel (i_h==0 init, i_h==n_h-1 finish)
+    x, g, b, w1, b1, w2, b2 = _args(r=64, d=1152, h=4608)
     got = fused_ln_mlp(x, g, b, w1, b1, w2, b2, interpret=True)
     want = _pure(
         x, g.reshape(1, -1), b.reshape(1, -1), w1, b1.reshape(1, -1),
