@@ -74,30 +74,50 @@ def build_sam2_engine(
     model_cfg="hiera_s",
     checkpoint: Optional[str] = None,
     dtype=jnp.bfloat16,
+    quantize_int8: bool = False,
     **overrides,
 ) -> SAM2Engine:
+    """quantize_int8=True loads the fp checkpoint, rewrites the trunk
+    dense kernels to int8 (ops/quant.py W8A8), and builds the engine with
+    the quantized trunk — an inference-serving opt-in the reference's
+    fp16 autocast path has no analogue for."""
     cfg = _resolve_cfg(model_cfg, **overrides)
     params = _load_params(checkpoint, cfg)
+    if quantize_int8:
+        import dataclasses
+
+        from det_sam2_tpu.ops.quant import quantize_trunk
+
+        if params is None:  # random init, then quantize (tests/smoke)
+            params = SAM2Engine(cfg, dtype=dtype).params
+        cfg = dataclasses.replace(
+            cfg, hiera=dataclasses.replace(cfg.hiera, quantize_int8=True)
+        )
+        params = quantize_trunk(params)
     return SAM2Engine(cfg, params=params, dtype=dtype)
 
 
 def build_sam2(
     model_cfg="hiera_s", checkpoint: Optional[str] = None,
-    dtype=jnp.bfloat16, **overrides,
+    dtype=jnp.bfloat16, quantize_int8: bool = False, **overrides,
 ) -> SAM2ImagePredictor:
     """Image predictor (reference build_sam2 :68)."""
     return SAM2ImagePredictor(
-        build_sam2_engine(model_cfg, checkpoint, dtype, **overrides)
+        build_sam2_engine(
+            model_cfg, checkpoint, dtype, quantize_int8, **overrides
+        )
     )
 
 
 def build_sam2_video_predictor(
     model_cfg="hiera_s", checkpoint: Optional[str] = None,
-    dtype=jnp.bfloat16, **overrides,
+    dtype=jnp.bfloat16, quantize_int8: bool = False, **overrides,
 ) -> SAM2VideoPredictor:
     """Video predictor with the reference's postprocessing defaults already
     baked into SAM2Config (binarize_mask_from_pts, fill_hole_area=8,
     dynamic multimask stability — build_sam.py:111-146)."""
     return SAM2VideoPredictor(
-        build_sam2_engine(model_cfg, checkpoint, dtype, **overrides)
+        build_sam2_engine(
+            model_cfg, checkpoint, dtype, quantize_int8, **overrides
+        )
     )

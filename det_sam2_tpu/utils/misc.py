@@ -66,6 +66,11 @@ def load_video_frames(
     Returns (list of normalized fp16 NHWC frames, video_height, video_width).
     """
     if isinstance(video_path, np.ndarray):
+        if video_path.ndim == 4:  # [N, H, W, 3] frame stack
+            h, w = video_path.shape[1:3]
+            return (
+                [prepare_frame(f, image_size) for f in video_path], h, w
+            )
         h, w = video_path.shape[:2]
         return [prepare_frame(video_path, image_size)], h, w
 

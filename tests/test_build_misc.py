@@ -15,6 +15,18 @@ from det_sam2_tpu.utils.profiling import (
 )
 
 
+def test_load_video_frames_ndarray_stack():
+    """A [N, H, W, 3] uint8 stack loads as N frames (same as a list of
+    frames — reference misc.py accepts list-of-ndarray)."""
+    from det_sam2_tpu.utils.misc import load_video_frames
+
+    stack = np.zeros((3, 40, 60, 3), np.uint8)
+    frames, h, w = load_video_frames(stack, image_size=32)
+    assert len(frames) == 3 and (h, w) == (40, 60)
+    single, h1, w1 = load_video_frames(stack[0], image_size=32)
+    assert len(single) == 1 and (h1, w1) == (40, 60)
+
+
 def test_resolve_cfg_aliases():
     for alias in ("hiera_s", "sam2.1_hiera_s", "configs/sam2.1/sam2.1_hiera_s.yaml",
                   "facebook/sam2.1-hiera-small"):

@@ -137,3 +137,18 @@ def test_quantized_mask_agreement(engines):
     union = np.logical_or(m_fp, m_q).sum()
     if union > 0:
         assert inter / union > 0.9, inter / union
+
+
+def test_build_quantized_video_predictor():
+    """build_sam2_video_predictor(quantize_int8=True) converts the trunk
+    and flips the config in one step (the serving entry point)."""
+    from det_sam2_tpu.build import build_sam2_video_predictor
+
+    vp = build_sam2_video_predictor(
+        tiny_test_config(), quantize_int8=True, dtype=jnp.float32
+    )
+    assert vp.engine.cfg.hiera.quantize_int8
+    blk = vp.engine.params["image_encoder"]["trunk"]["blocks_0"]["attn"][
+        "qkv"
+    ]
+    assert "kernel_q" in blk and "kernel" not in blk
