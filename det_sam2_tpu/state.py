@@ -92,14 +92,18 @@ def init_bank(
     )
 
 
+def next_pow2(n: int) -> int:
+    """Smallest power of two >= n (n >= 1). THE bucketing helper: object
+    slots, cond attend tiles, and window run-count buckets all round with
+    this so compiled-graph cache keys stay consistent."""
+    return 1 << max(n - 1, 0).bit_length()
+
+
 def cond_tile_bucket(cfg: SAM2Config, live_cond: int) -> int:
     """Power-of-two bucket (capped at capacity) for the attended cond-tile
     count, so live-cond growth triggers at most ~log2(capacity) recompiles."""
     cap = min(cfg.cond_attn_size, cfg.cond_bank_size)
-    b = 1
-    while b < min(max(live_cond, 1), cap):
-        b *= 2
-    return min(b, cap)
+    return min(next_pow2(min(max(live_cond, 1), cap)), cap)
 
 
 def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
@@ -139,8 +143,17 @@ def _choose_write_slot(frame_idx_vec, pinned, frame_idx):
     smallest indices and would be evicted first once the bank fills."""
     match = frame_idx_vec == frame_idx
     empty = frame_idx_vec < 0
+    # distance is measured from the frame being WRITTEN — for the steady
+    # streaming path that frame IS the current tracking position. Writes to
+    # old frames (demotions, late corrections) use the written frame as a
+    # proxy for "current", which can evict a nearer-to-current slot; the
+    # app never does this mid-window, so the approximation is acceptable.
     dist = jnp.abs(frame_idx_vec - frame_idx)
-    evict_key = jnp.where(pinned, jnp.int32(-1), dist)
+    # pinned slots are shielded only while an unpinned victim exists; if
+    # EVERY slot is pinned (preload bank at capacity), fall back to
+    # furthest-pinned instead of silently clobbering slot 0
+    any_unpinned = jnp.any(~pinned)
+    evict_key = jnp.where(pinned & any_unpinned, jnp.int32(-1), dist)
     slot = jnp.where(
         match.any(),
         jnp.argmax(match),
@@ -253,7 +266,9 @@ def demote_cond_frame(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
     has = match.any()
     slot = jnp.argmax(match)
     bank2 = write_noncond(
-        bank, frame_idx, bank.cond_mem[slot], bank.cond_ptr[slot]
+        bank, frame_idx, bank.cond_mem[slot], bank.cond_ptr[slot],
+        obj_valid=bank.cond_obj_valid[slot],  # carry per-object validity:
+        # defaulting to all-valid would resurrect freed objects' rows
     )
     # undo the noncond write when the cond frame didn't exist
     bank2 = jax.tree_util.tree_map(
@@ -408,7 +423,12 @@ def select_memory(
     else:
         past_ok = jnp.ones_like(cond_valid)
     cond_ptr_valid = (cond_valid & past_ok)[:, None] & cond_obj_valid  # [Ka, O]
-    cond_ptr_dist = (frame_idx - cond_t) * tpos_sign
+    if cfg.use_signed_tpos_enc_to_obj_ptrs:
+        cond_ptr_dist = (frame_idx - cond_t) * tpos_sign
+    else:
+        # sam2.0-style checkpoints: unsigned distances
+        # (sam2_base.py:601-606 abs(frame_idx - t))
+        cond_ptr_dist = jnp.abs(frame_idx - cond_t)
 
     # scan part: t_diff = 1 .. max_obj_ptrs-1; a non-cond entry wins, with
     # fallback to an UNSELECTED cond frame at the same index (the reference

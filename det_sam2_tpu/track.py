@@ -28,6 +28,7 @@ from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
 from det_sam2_tpu.state import (
     MemoryBank,
+    next_pow2,
     select_memory,
     write_cond,
     write_noncond,
@@ -113,8 +114,10 @@ _IMG_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 
 def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
-    """uint8 (or raw float 0..255) frames -> fp32 ImageNet-normalized; float
-    inputs in normalized range pass through (parity tests feed those)."""
+    """uint8 frames -> fp32 ImageNet-normalized. Float inputs are assumed
+    ALREADY normalized and pass through unchanged (the loader's
+    prepare_frame emits normalized fp16; parity tests feed normalized
+    fp32). Raw 0..255 floats are NOT rescaled — convert to uint8 first."""
     if img.dtype == jnp.uint8:
         x = img.astype(jnp.float32) / 255.0
         return (x - _IMG_MEAN) / _IMG_STD
@@ -495,7 +498,7 @@ class SAM2Engine:
         """Consolidated-frame memory encoding + cond-bank write (the
         run_mem_encoder consolidation at sam2_video_predictor.py:730-760)."""
         if obj_valid is None:
-            obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
+            obj_valid = np.ones((low_res_masks.shape[0],), bool)
         return self._encode_cond_fn(bool(is_mask_from_pts), bool(pinned))(
             {"params": self.params}, feats, bank, np.int32(frame_idx),
             np.asarray(low_res_masks, np.float32),
@@ -512,7 +515,7 @@ class SAM2Engine:
         reference, sam2_video_predictor.py:858-871 — they are read back as
         strided non-cond memories, not as conditioning frames)."""
         if obj_valid is None:
-            obj_valid = jnp.ones((low_res_masks.shape[0],), bool)
+            obj_valid = np.ones((low_res_masks.shape[0],), bool)
         return self._encode_cond_fn(
             bool(is_mask_from_pts), False, to_cond=False
         )(
@@ -566,7 +569,7 @@ class SAM2Engine:
                     obj_valid=None):
         """img [1, H, W, 3] -> (new_bank, outputs); fused encode+track."""
         if obj_valid is None:
-            obj_valid = jnp.ones((bank.num_objects,), bool)
+            obj_valid = np.ones((bank.num_objects,), bool)
         return self._stream_step_fn(bool(reverse))(
             {"params": self.params}, img, bank,
             np.int32(frame_idx), np.int32(num_frames), np.asarray(obj_valid),
@@ -664,7 +667,7 @@ class SAM2Engine:
         # device-side concat (no host round-trip)
         if isinstance(images, jax.Array):
             n = images.shape[0]
-            n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
+            n_bucket = min(max(8, next_pow2(n)), t) if t else 0
             if n < n_bucket:
                 images = jnp.concatenate([
                     images,
@@ -673,7 +676,7 @@ class SAM2Engine:
         else:
             images = np.asarray(images)
             n = images.shape[0]
-            n_bucket = min(max(8, 1 << (n - 1).bit_length()), t) if t else 0
+            n_bucket = min(max(8, next_pow2(n)), t) if t else 0
             if n < n_bucket:
                 pad = np.zeros((n_bucket - n, *images.shape[1:]), images.dtype)
                 images = np.concatenate([images, pad])
@@ -721,8 +724,8 @@ class SAM2Engine:
             {"params": self.params},
             tuple(f[:1] for f in feats),
             bank,
-            jnp.int32(frame_idx),
-            jnp.int32(1),
+            np.int32(frame_idx),
+            np.int32(1),
             zeros,
         )
         return out["obj_ptr"]

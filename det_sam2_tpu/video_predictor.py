@@ -44,10 +44,7 @@ from det_sam2_tpu.utils.misc import (
 
 
 def _bucket(n: int) -> int:
-    b = 1
-    while b < n:
-        b *= 2
-    return b
+    return bank_ops.next_pow2(n)
 
 
 class InferenceSession:
@@ -86,6 +83,12 @@ class InferenceSession:
             collections.defaultdict(dict)
         )
         self.frames_already_tracked: Dict[int, dict] = {}
+        # released tracked frames, compacted to merged (start, end, reverse)
+        # intervals: the reference keeps frames_tracked forever (a
+        # correction on an old frame must NOT be treated as an init cond
+        # frame), but a per-frame dict grows without bound on endless
+        # streams — ranges keep the semantics at O(1) memory
+        self.tracked_ranges: List[Tuple[int, int, bool]] = []
         # prompted non-cond frames whose outputs are reused in propagation
         # (the reference's consolidated_frame_inds["non_cond_frame_outputs"])
         self.consolidated_noncond: set = set()
@@ -96,6 +99,36 @@ class InferenceSession:
         # frame_idx -> empty-mask pointer (the reference computes
         # _get_empty_mask_ptr per frame from that frame's features)
         self._empty_ptr: Dict[int, np.ndarray] = {}
+
+    def tracked_info(self, frame_idx: int) -> Optional[dict]:
+        """{'reverse': bool} if frame_idx was ever tracked (live dict or a
+        compacted released range), else None."""
+        row = self.frames_already_tracked.get(frame_idx)
+        if row is not None:
+            return row
+        for s, e, rev in self.tracked_ranges:
+            if s <= frame_idx <= e:
+                return {"reverse": rev}
+        return None
+
+    def compact_tracked(self, upto_idx: int) -> None:
+        """Move frames_already_tracked entries with idx <= upto_idx into
+        merged tracked_ranges (called by release_old_frames)."""
+        moved = [t for t in self.frames_already_tracked if t <= upto_idx]
+        for t in moved:
+            rev = bool(self.frames_already_tracked.pop(t)["reverse"])
+            self.tracked_ranges.append((t, t, rev))
+        if not moved:
+            return
+        self.tracked_ranges.sort()
+        merged: List[Tuple[int, int, bool]] = []
+        for s, e, rev in self.tracked_ranges:
+            if merged and merged[-1][2] == rev and s <= merged[-1][1] + 1:
+                ps, pe, prev = merged[-1]
+                merged[-1] = (ps, max(pe, e), prev)
+            else:
+                merged.append((s, e, rev))
+        self.tracked_ranges = merged
 
     @property
     def obj_ids(self) -> List[int]:
@@ -381,16 +414,19 @@ class SAM2VideoPredictor:
         if run_mem_encoder:
             feats = self._get_feats(session, frame_idx)
             if is_cond:
+                # host np arrays pass straight through: the engine converts
+                # with np.asarray before the jitted call, so wrapping in
+                # jnp here would upload + read back + re-upload per frame
                 session.bank = self.engine.encode_cond_memory(
                     feats,
                     session.bank,
                     frame_idx,
-                    jnp.asarray(masks),
-                    jnp.asarray(scores),
-                    jnp.asarray(ptrs, np.float32),
+                    masks,
+                    scores,
+                    np.asarray(ptrs, np.float32),
                     is_mask_from_pts=True,
                     pinned=frame_idx in session.preload_cond_indices,
-                    obj_valid=jnp.asarray(self._active_mask(session)),
+                    obj_valid=np.asarray(self._active_mask(session)),
                 )
                 session.bank = bank_ops.invalidate_noncond(
                     session.bank, jnp.int32(frame_idx)
@@ -402,11 +438,11 @@ class SAM2VideoPredictor:
                     feats,
                     session.bank,
                     frame_idx,
-                    jnp.asarray(masks),
-                    jnp.asarray(scores),
-                    jnp.asarray(ptrs, np.float32),
+                    masks,
+                    scores,
+                    np.asarray(ptrs, np.float32),
                     is_mask_from_pts=True,
-                    obj_valid=jnp.asarray(self._active_mask(session)),
+                    obj_valid=np.asarray(self._active_mask(session)),
                 )
             store = session.cond_outputs if is_cond else session.noncond_outputs
             store[frame_idx] = {
@@ -499,12 +535,9 @@ class SAM2VideoPredictor:
         session.point_inputs_per_obj[obj_idx][frame_idx] = point_inputs
         session.mask_inputs_per_obj[obj_idx].pop(frame_idx, None)
 
-        is_init = frame_idx not in session.frames_already_tracked
-        reverse = (
-            False
-            if is_init
-            else session.frames_already_tracked[frame_idx]["reverse"]
-        )
+        tracked = session.tracked_info(frame_idx)
+        is_init = tracked is None
+        reverse = False if is_init else tracked["reverse"]
         is_cond = is_init or self.add_all_frames_to_correct_as_cond
         temp = session.temp_cond if is_cond else session.temp_noncond
 
@@ -579,12 +612,9 @@ class SAM2VideoPredictor:
         session.mask_inputs_per_obj[obj_idx][frame_idx] = mask_f
         session.point_inputs_per_obj[obj_idx].pop(frame_idx, None)
 
-        is_init = frame_idx not in session.frames_already_tracked
-        reverse = (
-            False
-            if is_init
-            else session.frames_already_tracked[frame_idx]["reverse"]
-        )
+        tracked = session.tracked_info(frame_idx)
+        is_init = tracked is None
+        reverse = False if is_init else tracked["reverse"]
         is_cond = is_init or self.add_all_frames_to_correct_as_cond
         temp = session.temp_cond if is_cond else session.temp_noncond
 
@@ -848,8 +878,12 @@ class SAM2VideoPredictor:
         }
         for t in [t for t in session._empty_ptr if _in_range(t)]:
             session._empty_ptr.pop(t, None)
-        for t in [t for t in session.frames_already_tracked if _in_range(t)]:
-            session.frames_already_tracked.pop(t, None)
+        # frames_already_tracked is NOT dropped (the reference keeps
+        # frames_tracked forever, :1215-1277: a later correction on a
+        # released frame must still classify as tracked, not init) — but a
+        # per-frame dict grows forever on endless streams, so released
+        # entries compact into merged (start, end, reverse) ranges
+        session.compact_tracked(oldest_allowed)
         if session.bank is not None:
             session.bank = bank_ops.release_frames(
                 session.bank, jnp.int32(oldest_allowed + 1)
@@ -883,6 +917,7 @@ class SAM2VideoPredictor:
             "cond_outputs": session.cond_outputs,
             "noncond_outputs": session.noncond_outputs,
             "frames_already_tracked": session.frames_already_tracked,
+            "tracked_ranges": session.tracked_ranges,
             "frames": session.frames,
             "pre_frames": session.pre_frames,
             "preload_cond_indices": session.preload_cond_indices,
@@ -918,6 +953,7 @@ class SAM2VideoPredictor:
         session.cond_outputs = payload["cond_outputs"]
         session.noncond_outputs = payload["noncond_outputs"]
         session.frames_already_tracked = payload["frames_already_tracked"]
+        session.tracked_ranges = payload.get("tracked_ranges", [])
         if keep_images:
             session.frames = payload["frames"]
         session.pre_frames = session.num_frames

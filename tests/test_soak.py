@@ -62,6 +62,7 @@ def test_soak_flat_memory():
                 "cond": len(s.cond_outputs),
                 "empty_ptr": len(s._empty_ptr),
                 "tracked": len(s.frames_already_tracked),
+                "tracked_ranges": len(s.tracked_ranges),
             }
         )
 
@@ -80,9 +81,11 @@ def test_soak_flat_memory():
         assert c["cond"] <= base["cond"] + 8, c
         assert c["empty_ptr"] <= 64, c
         assert c["session_mb"] <= base["session_mb"] * 1.10 + 8.0, c
-        # frames_already_tracked is the one store the reference also grows;
-        # ours must stay bounded via release_old_frames
+        # frames_already_tracked is the one store the reference grows
+        # forever; released entries compact into merged interval ranges
+        # (reference classification semantics at O(1) memory)
         assert c["tracked"] <= 4 * proc.max_inference_state_frames + 64, c
+        assert c["tracked_ranges"] <= 8, c
     # device bank is static by construction
     s = proc.session
     assert s.bank.cond_mem.shape[0] == s.cfg.cond_bank_size
