@@ -173,10 +173,7 @@ class OutProj(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.dim_out,))
             # per-token rows span (heads, D): quantize over both axes so
             # the int8 einsum contracts the same pair the fp path does
-            of = o.astype(jnp.float32)
-            absmax = jnp.max(jnp.abs(of), axis=(1, 3), keepdims=True)
-            s_row = jnp.maximum(absmax, 1e-12) / 127.0
-            o_q = jnp.clip(jnp.round(of / s_row), -127, 127).astype(jnp.int8)
+            o_q, s_row = quant.quantize_rows(o, axes=(1, 3))
             k3 = w_q.reshape(h, d, self.dim_out)
             y = jnp.einsum(
                 "bhnd,hdc->bnc", o_q, k3,

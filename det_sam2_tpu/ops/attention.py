@@ -136,19 +136,9 @@ def _flash_call(q, k, v, bias, block_q: int, block_k: int, interpret: bool):
             pl.BlockSpec((1, 1, block_k), lambda b, iq, ik: (b, 0, ik))
         )
         args.append(bias)
-    else:
-        in_specs.append(None)
-        args.append(None)
-
-    if not has_bias:
-        # build a kernel without the bias operand
-        kernel = functools.partial(
-            _flash_kernel_nobias, scale=scale
-        )
-        in_specs = in_specs[:3]
-        args = args[:3]
-    else:
         kernel = functools.partial(_flash_kernel, scale=scale, has_bias=True)
+    else:
+        kernel = functools.partial(_flash_kernel_nobias, scale=scale)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -430,6 +420,11 @@ def _flash_core_bwd(block_q, block_k, interpret, res, dout):
     dq, dk, dv = _flash_bwd_call(
         q, k, v, bias, out, lse, dout, block_q, block_k, interpret
     )
+    # bias gradient is NOT computed: every bias reaching this kernel is a
+    # constant validity mask (0 / -1e30 from memory_attention), never a
+    # learned tensor. A differentiable bias would silently train with
+    # dbias=0 here while the small-shape sdpa fallback returns the true
+    # gradient — if you add one, extend the backward kernel first.
     dbias = None if bias is None else jnp.zeros_like(bias)
     return dq, dk, dv, dbias
 
@@ -451,6 +446,10 @@ def flash_attention(
     q: [B, H, Nq, D]; k/v: [B, H, Nk, D]; bias: None or additive
     [B, 1, 1, Nk] / [B, H, Nq, Nk]-broadcastable with -inf at masked keys
     (only the [B,1,1,Nk] form hits the kernel; others fall back).
+
+    Gradient caveat: the custom VJP returns dbias=0 (the only bias used is
+    a constant validity mask) — do not route a LEARNED bias through this
+    kernel without extending the backward pass.
     """
     b, h, nq, d = q.shape
     nk = k.shape[2]
@@ -470,11 +469,14 @@ def flash_attention(
         bf = jnp.broadcast_to(bias[:, 0, 0, :][:, None, :], (b, h, nk))
         bf = bf.reshape(b * h, nk)
     def _pick_block(n, cap):
-        # prefer a block that divides n exactly (no padding waste)
+        # prefer a block that divides n exactly (no padding waste); when
+        # nothing divides, fall back to 128 — _flash_call pads to the
+        # block multiple, and any other fallback (e.g. n itself) could be
+        # a Mosaic-illegal tile (second-minor not a multiple of 16)
         for b in (1024, 768, 512, 384, 256, 128):
             if b <= cap and n % b == 0:
                 return b
-        return min(cap, max(128, n))
+        return 128
 
     block_q_eff = _pick_block(nq, block_q)
     block_k_eff = _pick_block(nk, block_k)

@@ -35,15 +35,29 @@ _LIB_TRIED = False
 
 def _build_host_lib() -> Optional[str]:
     try:
+        # compile to a process-private temp file, then atomically publish:
+        # concurrent processes (serving worker + tests) may build at the
+        # same time, and CDLL-ing a half-written .so segfaults
+        tmp = f"{_LIB_PATH}.{os.getpid()}.tmp"
         subprocess.run(
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-             "-o", _LIB_PATH],
+             "-o", tmp],
             check=True,
             capture_output=True,
         )
+        os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
     except Exception:
         return None
+
+
+def _lib_fresh() -> bool:
+    """The published .so exists and is no older than its source (a stale
+    artifact would silently pin pre-edit behavior)."""
+    try:
+        return os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC)
+    except OSError:
+        return False
 
 
 def _get_lib() -> Optional[ctypes.CDLL]:
@@ -51,7 +65,7 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _LIB_TRIED:
         return _LIB
     _LIB_TRIED = True
-    path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build_host_lib()
+    path = _LIB_PATH if _lib_fresh() else _build_host_lib()
     if path is None:
         return None
     try:
@@ -232,7 +246,8 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
         pixels (excluded by the area test).
     No while_loop, no per-round gathers — just A+1 rounds of rolls/mins plus
     one segment_sum/segment_max pair."""
-    a = int(np.ceil(max_area))
+    assert max_area > 0, max_area  # matches fill_holes_in_mask_scores_np
+    a = max(int(np.ceil(max_area)), 1)  # a=0 would make fori_loop illegal
     fg = masks != 0
     h, w = fg.shape[-2], fg.shape[-1]
     # fp32 labels: exact for flat indices < 2^24 and the 3x3 min-pool

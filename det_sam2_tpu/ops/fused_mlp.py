@@ -184,7 +184,7 @@ def fused_ln_mlp(
     # was a measured 10% encoder regression). So: keep the full hidden in
     # VMEM whenever the weights fit, sizing the row block to the fp32
     # hidden scratch; only stage-4-width layers (21 MB of weights) split.
-    w_bytes = 2 * d * hdim * 2  # W1 + W2 in bf16
+    w_bytes = 2 * d * hdim * x.dtype.itemsize  # W1 + W2 in x.dtype
     if w_bytes <= (8 << 20):
         block_h = hdim
         br = 512 if d <= 288 else 256

@@ -56,10 +56,13 @@ def quantize_weight(
     return w_q, scale.astype(jnp.float32)
 
 
-def _quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Per-row (last-axis) dynamic symmetric int8 quantization."""
+def _quantize_rows(
+    x: jnp.ndarray, axes: Tuple[int, ...] = (-1,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dynamic symmetric int8 quantization, one scale per row — a row
+    spans `axes` (the contraction axes of the following matmul)."""
     xf = x.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    absmax = jnp.max(jnp.abs(xf), axis=axes, keepdims=True)
     s = jnp.maximum(absmax, _EPS) / INT8_MAX
     x_q = jnp.clip(jnp.round(xf / s), -INT8_MAX, INT8_MAX).astype(jnp.int8)
     return x_q, s
@@ -105,9 +108,11 @@ def int8_matmul_prequant(
     )
 
 
-def quantize_rows(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def quantize_rows(
+    x: jnp.ndarray, axes: Tuple[int, ...] = (-1,)
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Public alias of the per-row activation quantizer."""
-    return _quantize_rows(x)
+    return _quantize_rows(x, axes)
 
 
 def init_int8_zeros(key, shape, dtype=jnp.int8):

@@ -192,9 +192,8 @@ def main():  # pragma: no cover
 
     import jax.numpy as jnp
 
+    from det_sam2_tpu.build import build_sam2_engine
     from det_sam2_tpu.configs import MODEL_CONFIGS
-    from det_sam2_tpu.convert import load_torch_checkpoint
-    from det_sam2_tpu.track import SAM2Engine
     from det_sam2_tpu.video_predictor import SAM2VideoPredictor
 
     ap = argparse.ArgumentParser()
@@ -205,13 +204,14 @@ def main():  # pragma: no cover
                     help="directory of mp4s for the demo gallery")
     ap.add_argument("--uploads", default=None,
                     help="directory for uploaded/transcoded videos")
+    ap.add_argument("--int8", action="store_true",
+                    help="serve with the W8A8 int8 trunk (ops/quant.py)")
     args = ap.parse_args()
 
-    cfg = MODEL_CONFIGS[args.model]()
-    params = (
-        load_torch_checkpoint(args.checkpoint, cfg) if args.checkpoint else None
+    engine = build_sam2_engine(
+        args.model, args.checkpoint, dtype=jnp.bfloat16,
+        quantize_int8=args.int8,
     )
-    engine = SAM2Engine(cfg, params=params, dtype=jnp.bfloat16)
     api = InferenceAPI(SAM2VideoPredictor(engine))
     serve(api, port=args.port, gallery_dir=args.gallery,
           uploads_dir=args.uploads)
