@@ -31,6 +31,17 @@ class VideoClip:
     masks: List[Dict[int, np.ndarray]]  # per frame: obj_id -> bool [H, W]
 
 
+def _image_files_by_stem(directory: str) -> Dict[str, str]:
+    """stem -> full path for every .jpg/.jpeg/.png (case-insensitive), the
+    exact match rule frame_names() applies."""
+    out: Dict[str, str] = {}
+    for n in sorted(os.listdir(directory)):
+        stem, ext = os.path.splitext(n)
+        if ext.lower() in (".jpg", ".jpeg", ".png"):
+            out[stem] = os.path.join(directory, n)
+    return out
+
+
 class PNGRawDataset:
     """<root>/JPEGImages/<video>/*.jpg + <root>/Annotations/<video>/*.png
     (DAVIS/MOSE layout)."""
@@ -57,13 +68,15 @@ class PNGRawDataset:
     def load_frames(self, video: str, names: Sequence[str]) -> VideoClip:
         from PIL import Image
 
+        d = os.path.join(self.img_folder, video)
+        by_stem = _image_files_by_stem(d)
         frames, masks = [], []
         for name in names:
-            for ext in (".jpg", ".jpeg", ".png"):
-                p = os.path.join(self.img_folder, video, name + ext)
-                if os.path.exists(p):
-                    frames.append(np.asarray(Image.open(p).convert("RGB")))
-                    break
+            # the same case-insensitive matching frame_names used: a
+            # silent skip here would misalign frames with masks
+            frames.append(
+                np.asarray(Image.open(by_stem[name]).convert("RGB"))
+            )
             mask_path = os.path.join(self.gt_folder, video, name + ".png")
             per_obj: Dict[int, np.ndarray] = {}
             if os.path.exists(mask_path):
@@ -225,6 +238,9 @@ class JSONRawDataset:
         self.videos = (
             list(file_list) if file_list else sorted(os.listdir(img_folder))
         )
+        # SA-V masklet JSONs run to tens of MB; frame_names + load_frames
+        # both need them, so parse each video's annotations once
+        self._annot_cache: Dict[str, tuple] = {}
 
     def __len__(self):
         return len(self.videos)
@@ -232,6 +248,8 @@ class JSONRawDataset:
     def _load_annots(self, video: str):
         import json
 
+        if video in self._annot_cache:
+            return self._annot_cache[video]
         for cand in (f"{video}_manual.json", f"{video}.json"):
             p = os.path.join(self.gt_folder, video, cand)
             if not os.path.exists(p):
@@ -248,9 +266,17 @@ class JSONRawDataset:
             fps = data.get("fps")
             if fps is not None:
                 fps = int(fps[0] if isinstance(fps, list) else fps)
+                # the reference asserts this divisibility (vos_raw_dataset);
+                # a silent floor would pair frames with wrong masklets
+                if fps <= 0 or self.frames_fps % fps != 0:
+                    raise ValueError(
+                        f"{video}: annotation fps {fps} must divide "
+                        f"frames_fps {self.frames_fps}"
+                    )
                 ann_every = self.frames_fps // fps
         else:
             annots = data
+        self._annot_cache[video] = (annots, ann_every)
         return annots, ann_every
 
     def frame_names(self, video: str) -> List[str]:
@@ -272,19 +298,13 @@ class JSONRawDataset:
         from PIL import Image
 
         annots, ann_every = self._load_annots(video)
-        all_names = sorted(
-            os.path.splitext(n)[0]
-            for n in os.listdir(os.path.join(self.img_folder, video))
-            if os.path.splitext(n)[-1].lower() in (".jpg", ".jpeg", ".png")
-        )
-        name_to_idx = {n: i for i, n in enumerate(all_names)}
+        by_stem = _image_files_by_stem(os.path.join(self.img_folder, video))
+        name_to_idx = {n: i for i, n in enumerate(sorted(by_stem))}
         frames, masks = [], []
         for name in names:
-            for ext in (".jpg", ".jpeg", ".png"):
-                p = os.path.join(self.img_folder, video, name + ext)
-                if os.path.exists(p):
-                    frames.append(np.asarray(Image.open(p).convert("RGB")))
-                    break
+            frames.append(
+                np.asarray(Image.open(by_stem[name]).convert("RGB"))
+            )
             fi = name_to_idx[name]
             rles = annots[fi // ann_every]
             per_obj = {
@@ -440,6 +460,10 @@ class VOSDataLoader:
         self.affine_prob = affine_prob
         self.grayscale_prob = grayscale_prob
         self.seed = seed
+        # ONE rng advanced across batches() calls: re-seeding per call
+        # would make every epoch replay the exact same clips/augs (the
+        # reference re-samples per epoch via epoch-seeded samplers)
+        self._rng = random.Random(seed)
 
     def _load_track(self, rng: random.Random):
         video = rng.choice(self.dataset.videos)
@@ -456,12 +480,14 @@ class VOSDataLoader:
         clip = resize_clip(clip, self.image_size)
         # choose up to max_num_objects present in the first frame
         # (vos_sampler.py:31-78; missing objects pad with empty masks)
-        k = max(self.sampler.max_num_objects, 1)
         obj_ids = sorted(clip.masks[0].keys()) or sorted(
             {o for per in clip.masks for o in per.keys()}
         )
         if not obj_ids:
             return None
+        k = max(self.sampler.max_num_objects, 1)
+        if k > 256:  # "all objects" samplers (EvalSampler uses 10**9):
+            k = len(obj_ids)  # pad only to the clip's real object count
         chosen = rng.sample(obj_ids, k=min(k, len(obj_ids)))
         imgs = np.stack(
             [
@@ -488,7 +514,7 @@ class VOSDataLoader:
         return imgs, masks
 
     def batches(self, num_batches: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        rng = random.Random(self.seed)
+        rng = self._rng
         for _ in range(num_batches):
             rows = []
             while len(rows) < self.batch_size:
@@ -513,9 +539,12 @@ class MixedDataLoader:
         w = np.asarray(weights, np.float64)
         self.probs = w / w.sum()
         self.seed = seed
+        # persistent choice rng (fresh mixture every epoch, like the
+        # sub-loaders' persistent rngs)
+        self._rng = np.random.default_rng(seed)
 
     def batches(self, num_batches: int):
-        rng = np.random.default_rng(self.seed)
+        rng = self._rng
         iters = [None] * len(self.loaders)
         for _ in range(num_batches):
             i = int(rng.choice(len(self.loaders), p=self.probs))

@@ -113,17 +113,23 @@ class MultiStepMultiMasksAndIous:
         (list of [N, M, H, W]), 'multistep_pred_ious', and
         'multistep_object_score_logits'. targets_batch: [T, N, H, W]."""
         assert len(outs_batch) == targets_batch.shape[0]
+        # object rows are PADDED to a static count (dataset._load_track);
+        # the reference batches only real tracks and divides by their
+        # number (loss_fns.py:168-174), so padded all-empty rows must not
+        # dilute the scale or be supervised. A real row is non-empty in at
+        # least one frame (selection requires first-frame visibility).
+        row_valid = (targets_batch > 0).any(axis=(0, 2, 3))  # [N]
         num_objects = jnp.maximum(
-            jnp.asarray(targets_batch.shape[1], jnp.float32), 1.0
+            row_valid.sum().astype(jnp.float32), 1.0
         )
         losses = {"loss_mask": 0.0, "loss_dice": 0.0, "loss_iou": 0.0,
                   "loss_class": 0.0}
         for outs, targets in zip(outs_batch, targets_batch):
-            self._forward(losses, outs, targets, num_objects)
+            self._forward(losses, outs, targets, num_objects, row_valid)
         losses[CORE_LOSS_KEY] = self.reduce_loss(losses)
         return losses
 
-    def _forward(self, losses, outputs, targets, num_objects):
+    def _forward(self, losses, outputs, targets, num_objects, row_valid):
         target_masks = targets[:, None].astype(jnp.float32)  # [N, 1, H, W]
         for src_masks, ious, object_score_logits in zip(
             outputs["multistep_pred_multimasks_high_res"],
@@ -132,11 +138,11 @@ class MultiStepMultiMasksAndIous:
         ):
             self._update_losses(
                 losses, src_masks, target_masks, ious, num_objects,
-                object_score_logits,
+                object_score_logits, row_valid,
             )
 
     def _update_losses(self, losses, src_masks, target_masks, ious,
-                       num_objects, object_score_logits):
+                       num_objects, object_score_logits, row_valid):
         target_masks = jnp.broadcast_to(target_masks, src_masks.shape)
         loss_multimask = sigmoid_focal_loss(
             src_masks, target_masks, num_objects,
@@ -154,11 +160,15 @@ class MultiStepMultiMasksAndIous:
                 (target_masks[:, 0] > 0).reshape(target_masks.shape[0], -1),
                 axis=-1,
             )[..., None].astype(jnp.float32)
-            loss_class = sigmoid_focal_loss(
+            loss_class_rows = sigmoid_focal_loss(
                 object_score_logits, target_obj, num_objects,
                 alpha=self.focal_alpha_obj_score,
                 gamma=self.focal_gamma_obj_score,
+                loss_on_multimask=True,  # per-row, gated below
             )
+            loss_class = (
+                loss_class_rows * row_valid[:, None].astype(jnp.float32)
+            ).sum()
 
         loss_multiiou = iou_loss(
             src_masks, target_masks, ious, num_objects,
@@ -183,9 +193,10 @@ class MultiStepMultiMasksAndIous:
                 loss_multimask, loss_multidice, loss_multiiou
             )
 
-        loss_mask = loss_mask * target_obj
-        loss_dice = loss_dice * target_obj
-        loss_iou = loss_iou * target_obj
+        gate = target_obj * row_valid[:, None].astype(jnp.float32)
+        loss_mask = loss_mask * gate
+        loss_dice = loss_dice * gate
+        loss_iou = loss_iou * gate
 
         losses["loss_mask"] += loss_mask.sum()
         losses["loss_dice"] += loss_dice.sum()

@@ -337,9 +337,41 @@ def forward_training(
 
         coords, labels, mask_input = None, None, None
         if is_init:
+            if (
+                not schedule.use_pt_input
+                and cfg.use_mask_input_as_output_without_sam
+            ):
+                # GT-mask prompt bypasses the SAM heads entirely: the mask
+                # becomes the output at +-10 logits and the object score
+                # comes from mask occupancy (reference sam2_base.py:772-779
+                # _use_mask_as_output; the MOSE recipe sets the flag true,
+                # sam2.1_hiera_b+_MOSE_finetune.yaml:150). Supervising
+                # decoder outputs here instead would change training
+                # dynamics for every mask-prompted batch.
+                mask_input = gt_t.astype(jnp.float32)[..., None]
+                (multimasks, multimasks_hr, ious, low_res, high_res,
+                 obj_ptr, obj_logits) = model.use_mask_as_output(
+                    ft, [f0, f1], mask_input
+                )
+                multistep_hr.append(multimasks_hr)
+                multistep_ious.append(ious)
+                multistep_logits.append(obj_logits)
+                maskmem = model.encode_memory(
+                    ft, high_res, obj_logits, binarize=False
+                )
+                mem_feats[t] = maskmem.reshape(b, -1, cfg.mem_dim)
+                mem_ptrs[t] = obj_ptr
+                outs_by_t[t] = {
+                    "multistep_pred_multimasks_high_res": multistep_hr,
+                    "multistep_pred_ious": multistep_ious,
+                    "multistep_object_score_logits": multistep_logits,
+                    "pred_masks_high_res": high_res,
+                }
+                continue
             pix = model.no_mem_features(ft)
             if not schedule.use_pt_input:
                 # GT mask as the dense prompt on every init cond frame
+                # (flag off: the decoder refines the mask prompt)
                 mask_input = gt_t.astype(jnp.float32)[..., None]
             else:
                 rng, k_prompt = jax.random.split(rng)

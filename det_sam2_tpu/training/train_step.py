@@ -34,7 +34,9 @@ class OptimConf:
     (sam2.1_hiera_b+_MOSE_finetune.yaml:3-12, training/optimizer.py)."""
 
     base_lr: float = 5.0e-6
-    vision_lr: float = 3.0e-6
+    # image-encoder lr (MOSE recipe: 3e-6). None = train the trunk at
+    # base_lr (no per-leaf groups needed)
+    vision_lr: Optional[float] = None
     weight_decay: float = 0.1
     grad_clip_norm: float = 0.1
     warmup_steps: int = 100
@@ -77,7 +79,8 @@ def lr_scale_tree(params, cfg: SAM2Config, conf: OptimConf):
         scale 1.0).
     Weight decay scales with the group lr exactly as torch AdamW does."""
     depth = cfg.hiera.depth
-    vision_ratio = conf.vision_lr / conf.base_lr
+    vlr = conf.base_lr if conf.vision_lr is None else conf.vision_lr
+    vision_ratio = vlr / conf.base_lr
     decay = conf.layer_decay
 
     def leaf(path, x):
@@ -157,11 +160,16 @@ def make_optimizer(
     else:
         wd_fn = None
 
-    use_groups = (
-        params is not None
-        and cfg is not None
-        and (conf.layer_decay is not None or conf.vision_lr != conf.base_lr)
+    wants_groups = conf.layer_decay is not None or (
+        conf.vision_lr is not None and conf.vision_lr != conf.base_lr
     )
+    use_groups = params is not None and cfg is not None and wants_groups
+    if wants_groups and not use_groups:
+        raise ValueError(
+            "layer_decay/vision_lr need per-leaf groups: pass params and "
+            "cfg to make_optimizer (otherwise they would be silently "
+            "ignored and the whole model would train at base_lr)"
+        )
     if not use_groups:
         if wd_fn is None:
             return optax.chain(

@@ -219,6 +219,74 @@ def test_loss_parity_two_cond_one_correction(train_pair):
     )
 
 
+@pytest.mark.slow
+def test_mask_prompt_bypass_parity(train_pair):
+    """GT-mask-prompted init cond frames with use_mask_input_as_output_
+    without_sam=True bypass the SAM heads entirely: the mask becomes the
+    output at +-10 logits (reference prepare_prompt_inputs with
+    use_pt_input=False, sam2.py:222-252, + _use_mask_as_output). Final
+    masks, multistep counts, and the loss must match the reference."""
+    ref, model, params = train_pair
+    assert ref.use_mask_input_as_output_without_sam
+    images, gt = _make_clip(seed=5)
+    dp = _FakeDatapoint(images, gt)
+
+    old_prob = ref.prob_to_use_pt_input_for_train
+    ref.prob_to_use_pt_input_for_train = 0.0
+    try:
+        with torch.no_grad():
+            backbone_out = ref.forward_image(dp.flat_img_batch)
+            backbone_out = ref.prepare_prompt_inputs(backbone_out, dp)
+            assert not backbone_out["use_pt_input"]
+            assert backbone_out["frames_to_add_correction_pt"] == []
+            init_cond = list(backbone_out["init_cond_frames"])
+            ref_outs = ref.forward_tracking(backbone_out, dp)
+    finally:
+        ref.prob_to_use_pt_input_for_train = old_prob
+
+    schedule = PromptSchedule(
+        init_cond_frames=tuple(init_cond),
+        frames_to_correct=(),
+        use_pt_input=False,
+        use_box_per_frame=tuple(False for _ in init_cond),
+        num_correction_pt=0,
+    )
+    outs = model.apply(
+        {"params": params},
+        CFG,
+        jnp.asarray(images),
+        jnp.asarray(gt),
+        method=lambda m, c, i, g: forward_training(
+            m, c, i, g, rng=jax.random.PRNGKey(0), schedule=schedule,
+        ),
+    )
+
+    for t in range(T):
+        np.testing.assert_allclose(
+            np.asarray(outs[t]["pred_masks_high_res"]),
+            ref_outs[t]["pred_masks_high_res"].numpy(),
+            rtol=1e-2, atol=5e-2, err_msg=f"frame {t} final masks",
+        )
+        assert len(outs[t]["multistep_pred_ious"]) == len(
+            ref_outs[t]["multistep_pred_ious"]
+        ), f"frame {t} multistep count"
+    # cond frames emit the GT mask verbatim at +-10 logits
+    for t in init_cond:
+        ours_t = np.asarray(outs[t]["pred_masks_high_res"])[:, 0]
+        np.testing.assert_allclose(
+            ours_t, np.where(gt[t] > 0, 10.0, -10.0), atol=1e-5
+        )
+
+    our_loss_fn, ref_loss_fn = _loss_pair()
+    our_losses = our_loss_fn(outs, jnp.asarray(gt))
+    ref_losses = ref_loss_fn(ref_outs, torch.from_numpy(gt).float())
+    ref_core = float(ref_losses["core_loss"])
+    our_core = float(our_losses[CORE_LOSS_KEY])
+    assert abs(our_core - ref_core) / max(abs(ref_core), 1e-6) < 2e-2, (
+        f"core loss {our_core} vs reference {ref_core}"
+    )
+
+
 def test_sample_prompt_schedule_distribution():
     """Host sampling reproduces prepare_prompt_inputs' structure: frame 0
     always cond; counts within bounds; correction frames superset of cond
