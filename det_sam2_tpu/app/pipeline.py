@@ -21,12 +21,6 @@ import numpy as np
 from det_sam2_tpu.app.postprocess import VideoPostProcessor
 from det_sam2_tpu.app.video_processor import VideoProcessor
 
-try:
-    import cv2
-except ImportError:  # pragma: no cover
-    cv2 = None
-
-
 class DetSAM2Pipeline:
     def __init__(
         self,
@@ -37,9 +31,19 @@ class DetSAM2Pipeline:
         output_video_dir: Optional[str] = None,  # where the overlay mp4 goes
     ):
         self.video_processor = video_processor
-        self.video_processor.max_inference_state_frames = (
-            max_inference_state_frames
-        )
+        if video_processor.save_session_path is not None:
+            # session saving requires keeping ALL frames (the
+            # VideoProcessor constructor asserts -1); overriding here would
+            # silently truncate the saved session
+            if max_inference_state_frames != -1:
+                raise ValueError(
+                    "video_processor has save_session_path set; pass "
+                    "max_inference_state_frames=-1 to DetSAM2Pipeline"
+                )
+        else:
+            self.video_processor.max_inference_state_frames = (
+                max_inference_state_frames
+            )
         self.post_processor = post_processor or VideoPostProcessor()
         self.frames_queue: "queue.Queue[int]" = queue.Queue()
         self.segments_lock = threading.Lock()
@@ -48,6 +52,7 @@ class DetSAM2Pipeline:
         self.postprocess_started = threading.Event()
         self._post_thread: Optional[threading.Thread] = None
         self._errors: list = []
+        self.skipped_frames: list = []
         # reference Det_SAM2_pipeline.py:28,224-235: when the viz flag is
         # on, every raw frame is retained and the postprocessor's event
         # overlay is rendered to an mp4 after inference completes
@@ -88,9 +93,12 @@ class DetSAM2Pipeline:
             self._post_thread.start()
 
     def _postprocess_loop(self) -> None:
-        """Consume segments in order; re-deliveries allowed, gaps forbidden
-        (:176-221)."""
-        next_expected = 0
+        """Consume segments in order; re-deliveries allowed, later gaps
+        skipped (:176-221: the reference drops any frame beyond
+        len(has_processed_frames) rather than erroring). The stream may
+        START late — the first reverse window begins wherever the detector
+        first fires — so the first delivered frame anchors the order."""
+        next_expected = None
         try:
             while True:
                 try:
@@ -99,11 +107,13 @@ class DetSAM2Pipeline:
                     if self.inference_done.is_set() and self.frames_queue.empty():
                         break
                     continue
+                if next_expected is None:
+                    next_expected = frame_idx
                 if frame_idx > next_expected:
-                    raise RuntimeError(
-                        f"postprocess gap: expected <= {next_expected}, got "
-                        f"{frame_idx}"
-                    )
+                    # mid-stream jump (max_frame_num_to_track too small for
+                    # the buffer size): drop like the reference, visibly
+                    self.skipped_frames.append(frame_idx)
+                    continue
                 with self.segments_lock:
                     segments = self.shared_segments.get(frame_idx)
                 if segments is None:
@@ -128,28 +138,19 @@ class DetSAM2Pipeline:
         max_frames: Optional[int] = None,
     ) -> VideoPostProcessor:
         """Run the full async pipeline (Det_SAM2_pipeline.py:81-247)."""
+        from det_sam2_tpu.app.rtsp import iter_video_frames
+
         vp = self.video_processor
+        # step 1 of the reference pipeline: preload the memory bank
+        # (Det_SAM2_pipeline.py:99-113) — run() does this itself, but the
+        # pipeline drives process_frame directly
+        if vp.load_session_path and vp.session is None:
+            vp.session = vp.predictor.load_session_as_preload(
+                vp.load_session_path
+            )
+            vp.pre_frames = vp.session.pre_frames
 
-        def frame_iter():
-            if isinstance(video_source, str):
-                if cv2 is None:
-                    raise RuntimeError("cv2 required for video input")
-                cap = cv2.VideoCapture(video_source)
-                i = 0
-                while True:
-                    ok, frame = cap.read()
-                    if not ok or (max_frames is not None and i >= max_frames):
-                        break
-                    yield cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                    i += 1
-                cap.release()
-            else:
-                for i, f in enumerate(video_source):
-                    if max_frames is not None and i >= max_frames:
-                        break
-                    yield f
-
-        for i, frame in enumerate(frame_iter()):
+        for i, frame in enumerate(iter_video_frames(video_source, max_frames)):
             if self.visualize_postprocess:
                 self.retained_frames.append(frame)
             vp.process_frame(vp.pre_frames + i, frame)
@@ -160,7 +161,10 @@ class DetSAM2Pipeline:
         self._maybe_start_postprocess()
         self.inference_done.set()
         if self._post_thread is not None:
-            self._post_thread.join(timeout=60)
+            # the loop provably exits once inference_done is set and the
+            # queue drains; a bounded join would race visualize()/events()
+            # against a still-running consumer
+            self._post_thread.join()
         if self._errors:
             raise self._errors[0]
         if self.visualize_postprocess and self.retained_frames:

@@ -204,7 +204,10 @@ class VideoPostProcessor:
         return d < self.pot_distance_threshold, d
 
     def is_velocity_towards_hole(self, ball_id, position, frame_idx) -> bool:
-        v = self.balls_velocities[frame_idx - 1].get(ball_id)
+        # frame_idx-1 has no velocities when the ball disappears at frame 1
+        # (velocities start at frame 1); the reference KeyErrors here —
+        # treat "no velocity yet" as not-towards-hole instead
+        v = self.balls_velocities.get(frame_idx - 1, {}).get(ball_id)
         if not v or (v[0] == 0 and v[1] == 0):
             return False
         vn = np.asarray(v, float)

@@ -40,6 +40,9 @@ def stream_frames(url: str, max_frames: Optional[int] = None):
     import cv2
 
     cap = cv2.VideoCapture(url)
+    if not cap.isOpened():
+        cap.release()
+        raise RuntimeError(f"cannot open video source: {url}")
     i = 0
     try:
         while True:
@@ -50,3 +53,16 @@ def stream_frames(url: str, max_frames: Optional[int] = None):
             i += 1
     finally:
         cap.release()
+
+
+def iter_video_frames(video_source, max_frames: Optional[int] = None):
+    """RGB frames from a path/URL (cv2) or any ndarray iterable — the one
+    stream-decoding loop shared by VideoProcessor.run and
+    DetSAM2Pipeline.inference."""
+    if isinstance(video_source, str):
+        yield from stream_frames(video_source, max_frames)
+        return
+    for i, frame in enumerate(video_source):
+        if max_frames is not None and i >= max_frames:
+            break
+        yield frame

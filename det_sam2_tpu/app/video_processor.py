@@ -159,7 +159,17 @@ class VideoProcessor:
 
         self.prompt_from_detections(detections)
         if self.session.num_objects == 0:
-            return  # nothing prompted yet; wait for the first detection
+            # nothing prompted yet — still bound host memory: hours of
+            # detection-free stream would otherwise accumulate frames
+            if self.max_inference_state_frames != -1:
+                self.predictor.release_old_frames(
+                    self.session,
+                    frame_idx,
+                    self.max_inference_state_frames,
+                    self.pre_frames,
+                    release_images=self.vis_frame_stride == -1,
+                )
+            return
 
         t3 = time.perf_counter()
         for out_frame_idx, out_obj_ids, out_mask_logits in (
@@ -220,24 +230,10 @@ class VideoProcessor:
             )
             self.pre_frames = self.session.pre_frames
 
-        if isinstance(video_source, str):
-            if cv2 is None:
-                raise RuntimeError("cv2 required for video file/stream input")
-            cap = cv2.VideoCapture(video_source)
-            i = 0
-            while True:
-                ok, frame = cap.read()
-                if not ok or (max_frames is not None and i >= max_frames):
-                    break
-                rgb = cv2.cvtColor(frame, cv2.COLOR_BGR2RGB)
-                self.process_frame(self.pre_frames + i, rgb)
-                i += 1
-            cap.release()
-        else:
-            for i, frame in enumerate(video_source):
-                if max_frames is not None and i >= max_frames:
-                    break
-                self.process_frame(self.pre_frames + i, frame)
+        from det_sam2_tpu.app.rtsp import iter_video_frames
+
+        for i, frame in enumerate(iter_video_frames(video_source, max_frames)):
+            self.process_frame(self.pre_frames + i, frame)
         self.finish()
         return self.video_segments
 

@@ -59,30 +59,46 @@ def vos_inference(
     track_object_appearing_later: bool = False,
     per_object_png: bool = False,
 ) -> None:
-    """Joint multi-object VOS (reference vos_inference :118-247)."""
+    """Joint multi-object VOS (reference vos_inference :118-247).
+
+    use_all_masks prompts with EVERY annotated frame (independent of the
+    track-later flag, reference :145-166). Without track_object_appearing_
+    later, an object id appearing only in a later prompt frame is an error
+    (reference :196-205); with it, later-appearing objects are added online
+    at their first annotated frame — the joint-session extension our online
+    new-object API enables (the reference needs separate per-object
+    sessions for this, :249-366)."""
     os.makedirs(output_dir, exist_ok=True)
     session = predictor.init_state(frames_dir)
     gt = load_gt_masks(gt_mask_dir)
 
-    if not track_object_appearing_later:
-        prompt_frames = [min(gt.keys())]
-    elif use_all_masks:
+    if use_all_masks:
         prompt_frames = sorted(gt.keys())
-    else:
+    elif track_object_appearing_later:
         # first appearance per object
         seen = set()
         prompt_frames = []
         for fidx in sorted(gt.keys()):
-            new = set(gt[fidx].keys()) - seen
-            if new:
+            if set(gt[fidx].keys()) - seen:
                 prompt_frames.append(fidx)
                 seen |= set(gt[fidx].keys())
+    else:
+        prompt_frames = [min(gt.keys())]
 
+    first_frame_objs = set(gt[prompt_frames[0]].keys())
     prompted_objs = set()
     for fidx in prompt_frames:
-        for obj_id, mask in gt[fidx].items():
-            if not track_object_appearing_later and obj_id in prompted_objs:
-                continue
+        for obj_id, mask in sorted(gt[fidx].items()):
+            if (
+                not track_object_appearing_later
+                and obj_id not in first_frame_objs
+            ):
+                raise RuntimeError(
+                    f"object {obj_id} first appears at frame {fidx}; pass "
+                    "--track_object_appearing_later_in_video for datasets "
+                    "where objects appear after the first frame (LVOS, "
+                    "YouTube-VOS)"
+                )
             if use_all_masks or obj_id not in prompted_objs:
                 predictor.add_new_mask(session, fidx, obj_id, mask)
                 prompted_objs.add(obj_id)
@@ -103,23 +119,70 @@ def vos_separate_inference_per_object(
     frames_dir: str,
     gt_mask_dir: str,
     output_dir: str,
+    use_all_masks: bool = False,
 ) -> None:
-    """Per-object independent tracking, merged by score at the end
+    """Per-object independent tracking for later-appearing objects:
+    each object is prompted at its own first annotated frame (all its
+    annotated frames with use_all_masks), propagated forward from there,
+    then merged across objects by score with the non-overlap constraint
     (reference :249-366)."""
+    import jax.numpy as jnp
+
+    from det_sam2_tpu.modeling.sam2_base import (
+        apply_non_overlapping_constraints,
+    )
+
     os.makedirs(output_dir, exist_ok=True)
     gt = load_gt_masks(gt_mask_dir)
-    first = min(gt.keys())
-    all_objs = sorted(gt[first].keys())
 
-    per_obj_results: Dict[int, Dict[int, np.ndarray]] = {}
-    for obj_id in all_objs:
-        session = predictor.init_state(frames_dir)
-        predictor.add_new_mask(session, first, obj_id, gt[first][obj_id])
-        for frame_idx, obj_ids, masks in predictor.propagate_in_video(session):
-            per_obj_results.setdefault(frame_idx, {})[obj_id] = (
-                masks[0, 0] > 0.0
+    # per object: its annotated (non-empty) frames — first only unless
+    # use_all_masks (reference :283-305)
+    inputs_per_object: Dict[int, Dict[int, np.ndarray]] = {}
+    for fidx in sorted(gt.keys()):
+        for obj_id, mask in sorted(gt[fidx].items()):
+            if not np.any(mask):
+                continue
+            d = inputs_per_object.setdefault(obj_id, {})
+            if d and not use_all_masks:
+                continue
+            d[fidx] = mask
+
+    object_ids = sorted(inputs_per_object)
+    if not object_ids:
+        raise RuntimeError(f"no non-empty input masks in {gt_mask_dir}")
+    scores_per_object: Dict[int, Dict[int, np.ndarray]] = {}
+    session = predictor.init_state(frames_dir)
+    num_frames = session.num_frames
+    hw = (session.video_height, session.video_width)
+    for obj_id in object_ids:
+        predictor.reset_state(session)
+        input_frames = sorted(inputs_per_object[obj_id])
+        for fidx in input_frames:
+            predictor.add_new_mask(
+                session, fidx, obj_id, inputs_per_object[obj_id][fidx]
             )
-    for frame_idx, per_obj in sorted(per_obj_results.items()):
+        # forward-only from the object's first prompt (reference :320-326)
+        for frame_idx, _, masks in predictor.propagate_in_video(
+            session, start_frame_idx=min(input_frames), reverse=False
+        ):
+            scores_per_object.setdefault(obj_id, {})[frame_idx] = np.asarray(
+                masks[0, 0], np.float32
+            )
+
+    # consolidate: frames an object never visited score -1024 (absent),
+    # then suppress overlaps by keeping the max-scoring object per pixel
+    for frame_idx in range(num_frames):
+        scores = np.full((len(object_ids), 1, *hw), -1024.0, np.float32)
+        for i, obj_id in enumerate(object_ids):
+            got = scores_per_object.get(obj_id, {}).get(frame_idx)
+            if got is not None:
+                scores[i, 0] = got
+        merged = np.asarray(
+            apply_non_overlapping_constraints(jnp.asarray(scores))
+        )
+        per_obj = {
+            obj_id: merged[i, 0] > 0.0 for i, obj_id in enumerate(object_ids)
+        }
         save_palettised_png(
             per_obj, os.path.join(output_dir, f"{frame_idx:05d}.png")
         )
@@ -143,6 +206,13 @@ def main():  # pragma: no cover (CLI)
     ap.add_argument("--track_object_appearing_later_in_video",
                     action="store_true")
     ap.add_argument("--per_obj_png_file", action="store_true")
+    ap.add_argument(
+        "--joint_tracking_for_later_objects", action="store_true",
+        help="extension: handle later-appearing objects in ONE joint "
+        "session via online new-object addition instead of the "
+        "reference's separate per-object sessions (faster: one "
+        "propagation pass instead of one per object)",
+    )
     args = ap.parse_args()
 
     cfg = MODEL_CONFIGS[args.model]()
@@ -150,20 +220,30 @@ def main():  # pragma: no cover (CLI)
         load_torch_checkpoint(args.checkpoint, cfg) if args.checkpoint else None
     )
     engine = SAM2Engine(cfg, params=params, dtype=jnp.bfloat16)
-    predictor = SAM2VideoPredictor(engine)
+    # reference main: non_overlap unless writing per-object PNG trees
+    # (vos_inference.py:441-443)
+    predictor = SAM2VideoPredictor(
+        engine, non_overlap_masks=not args.per_obj_png_file
+    )
 
     if args.video_list_file:
         with open(args.video_list_file) as f:
             videos = [v.strip() for v in f if v.strip()]
     else:
         videos = sorted(os.listdir(args.base_video_dir))
+    # reference routing (:471-478): later-appearing objects need the
+    # separate per-object protocol — unless our joint extension is on
+    separate = args.track_object_appearing_later_in_video and not (
+        args.joint_tracking_for_later_objects
+    )
     for video in videos:
         frames_dir = os.path.join(args.base_video_dir, video)
         gt_dir = os.path.join(args.input_mask_dir, video)
         out_dir = os.path.join(args.output_mask_dir, video)
-        if args.per_obj_png_file:
+        if separate or args.per_obj_png_file:
             vos_separate_inference_per_object(
-                predictor, frames_dir, gt_dir, out_dir
+                predictor, frames_dir, gt_dir, out_dir,
+                use_all_masks=args.use_all_masks,
             )
         else:
             vos_inference(

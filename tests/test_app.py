@@ -82,6 +82,22 @@ def test_streaming_constant_memory(processor_factory):
 
 
 @pytest.mark.slow
+def test_no_detection_stream_bounds_memory(processor_factory):
+    """Hours of detection-free stream must not accumulate host frames:
+    release_old_frames runs even before the first prompt."""
+    from det_sam2_tpu.app.detector import NullDetector
+
+    proc = processor_factory(detector=NullDetector())
+    proc.run(_square_frames(32))
+    s = proc.session
+    assert s.num_objects == 0
+    assert (
+        len(s.frames)
+        <= proc.max_inference_state_frames + proc.frame_buffer_size
+    ), "detection-free stream grew session.frames unboundedly"
+
+
+@pytest.mark.slow
 def test_preload_memory_bank_roundtrip(tmp_path, processor_factory):
     save_path = str(tmp_path / "preload.pkl")
     proc = processor_factory(

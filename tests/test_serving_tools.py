@@ -140,6 +140,60 @@ def test_vos_inference_tool(predictor, tmp_path):
     assert set(np.unique(arr)) <= {0, 1}
 
 
+@pytest.mark.slow
+def test_vos_separate_per_object_later_appearance(predictor, tmp_path):
+    """An object first annotated at frame 2 must be tracked by the
+    per-object protocol (its own session, propagated from frame 2) and
+    absent before it; the joint path without the track-later flag must
+    reject it (reference vos_inference.py:196-205, :249-366)."""
+    from PIL import Image
+
+    from det_sam2_tpu.tools.vos_inference import (
+        vos_separate_inference_per_object,
+    )
+
+    frames_dir = tmp_path / "frames"
+    masks_dir = tmp_path / "gt"
+    out_dir = tmp_path / "out"
+    frames_dir.mkdir()
+    masks_dir.mkdir()
+    frames = []
+    for t in range(4):
+        f = np.full((H, W, 3), 30, np.uint8)
+        f[20:50, 8 + 3 * t : 32 + 3 * t] = (200, 30, 30)
+        if t >= 2:  # second object appears at frame 2
+            f[60:88, 70 + 2 * t : 100 + 2 * t] = (30, 200, 30)
+        frames.append(f)
+        Image.fromarray(f).save(frames_dir / f"{t:05d}.png")
+    gt0 = {1: np.zeros((H, W), bool)}
+    gt0[1][20:50, 8:32] = True
+    save_palettised_png(gt0, str(masks_dir / "00000.png"))
+    gt2 = {2: np.zeros((H, W), bool)}
+    gt2[2][60:88, 74:104] = True
+    save_palettised_png(gt2, str(masks_dir / "00002.png"))
+
+    with pytest.raises(RuntimeError, match="track_object_appearing_later"):
+        vos_inference(
+            predictor, str(frames_dir), str(masks_dir), str(tmp_path / "x"),
+            use_all_masks=True,
+        )
+
+    vos_separate_inference_per_object(
+        predictor, str(frames_dir), str(masks_dir), str(out_dir)
+    )
+    from PIL import Image as PILImage
+
+    outs = sorted(os.listdir(out_dir))
+    assert outs == [f"{i:05d}.png" for i in range(4)]
+    a0 = np.asarray(PILImage.open(out_dir / "00000.png"))
+    a2 = np.asarray(PILImage.open(out_dir / "00002.png"))
+    assert 2 not in np.unique(a0), "object 2 must be absent before frame 2"
+    # prompted frames keep their GT masks (cond-frame outputs), so these
+    # hold even with random tiny-model weights
+    assert (a0 == 1).any(), "object 1 at its prompt frame 0"
+    assert (a2 == 2).any(), "object 2 at its prompt frame 2"
+
+
 def test_async_frame_loader(tmp_path):
     from PIL import Image
 
