@@ -31,7 +31,7 @@ class DetSAM2Pipeline:
         output_video_dir: Optional[str] = None,  # where the overlay mp4 goes
     ):
         self.video_processor = video_processor
-        if video_processor.save_session_path is not None:
+        if getattr(video_processor, "save_session_path", None) is not None:
             # session saving requires keeping ALL frames (the
             # VideoProcessor constructor asserts -1); overriding here would
             # silently truncate the saved session
@@ -144,7 +144,7 @@ class DetSAM2Pipeline:
         # step 1 of the reference pipeline: preload the memory bank
         # (Det_SAM2_pipeline.py:99-113) — run() does this itself, but the
         # pipeline drives process_frame directly
-        if vp.load_session_path and vp.session is None:
+        if getattr(vp, "load_session_path", None) and vp.session is None:
             vp.session = vp.predictor.load_session_as_preload(
                 vp.load_session_path
             )

@@ -65,6 +65,13 @@ class SAM2AutomaticMaskGenerator:
             )
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
         self.predictor = predictor
+        if min_mask_region_area > 0:
+            # the reference constructs its predictor with hole/sprinkle
+            # areas = min_mask_region_area so every _predict fills low-res
+            # holes (automatic_mask_generator.py:116-119); mirror that on
+            # the caller-supplied predictor
+            predictor.max_hole_area = float(min_mask_region_area)
+            predictor.max_sprinkle_area = float(min_mask_region_area)
         self.point_grids = point_grids
         self.points_per_batch = points_per_batch
         self.pred_iou_thresh = pred_iou_thresh

@@ -179,9 +179,10 @@ class SAM2ImagePredictor:
         )
         multimasks = np.asarray(out["multimasks"], np.float32)  # [B, M, s4, s4]
         ious = np.asarray(out["ious"], np.float32)
-        masks = resize_masks_np(multimasks, self._orig_hw)
-        if not return_logits:
-            masks = masks > self.mask_threshold
+        # same cleanup as predict(): the AMG hot path must not silently
+        # skip hole/sprinkle filling (reference applies postprocess_masks
+        # on every _predict, sam2_image_predictor.py:~430)
+        masks = self._postprocess(multimasks, return_logits)
         return masks, ious, multimasks
 
     def _predict_image_batch(
@@ -233,9 +234,13 @@ class SAM2ImagePredictor:
         return np.concatenate(parts_c, axis=0), np.concatenate(parts_l, axis=0)
 
     def _postprocess(self, low_res_masks: np.ndarray, return_logits: bool):
-        """Upscale to original resolution (+ optional hole/sprinkle cleanup,
-        reference sam2/utils/transforms.py:84-120)."""
-        masks = resize_masks_np(low_res_masks, self._orig_hw)
+        """Optional hole/sprinkle cleanup on the LOW-RES masks, then upscale
+        to the original resolution. The reference fills BEFORE interpolating
+        (sam2/utils/transforms.py:84-120): max_hole/sprinkle_area are in
+        low-res pixels and the +-10 fill patches get bilinearly smoothed —
+        filling at full resolution would reinterpret the thresholds ~16x
+        smaller and leave hard patch edges."""
+        masks = low_res_masks
         if self.max_hole_area > 0 or self.max_sprinkle_area > 0:
             from det_sam2_tpu.ops.connected_components import (
                 fill_holes_and_sprinkles_np,
@@ -245,6 +250,7 @@ class SAM2ImagePredictor:
                 masks, self.mask_threshold,
                 self.max_hole_area, self.max_sprinkle_area,
             )
+        masks = resize_masks_np(masks, self._orig_hw)
         if not return_logits:
             masks = masks > self.mask_threshold
         return masks

@@ -194,18 +194,12 @@ def box_xyxy_to_xywh(box: np.ndarray) -> np.ndarray:
 
 
 def batched_mask_to_box(masks: np.ndarray) -> np.ndarray:
-    """[..., H, W] -> xyxy [..., 4]; empty masks -> zeros (amg.py:328-369)."""
-    if masks.size == 0:
-        return np.zeros((*masks.shape[:-2], 4), np.float32)
-    shape = masks.shape[:-2]
-    h, w = masks.shape[-2:]
-    flat = masks.reshape(-1, h, w) > 0
-    out = np.zeros((flat.shape[0], 4), np.float32)
-    for i, m in enumerate(flat):
-        ys, xs = np.nonzero(m)
-        if len(ys):
-            out[i] = (xs.min(), ys.min(), xs.max() + 1 - 1, ys.max() + 1 - 1)
-    return out.reshape(*shape, 4)
+    """[..., H, W] -> xyxy [..., 4]; empty masks -> zeros (amg.py:328-369).
+    Same inclusive-edge convention as the reference; shares the vectorized
+    implementation in utils/misc.py."""
+    from det_sam2_tpu.utils.misc import mask_to_box_np
+
+    return mask_to_box_np(masks)
 
 
 def box_iou(a: np.ndarray, b: np.ndarray) -> np.ndarray:

@@ -27,18 +27,24 @@ def _load_image_file(path: str, image_size: int) -> Tuple[np.ndarray, int, int]:
 
     img = Image.open(path).convert("RGB")
     w, h = img.size
-    arr = np.asarray(img.resize((image_size, image_size))).astype(np.float32)
-    return arr / 255.0, h, w
+    return np.asarray(img.resize((image_size, image_size))), h, w
 
 
 def prepare_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
-    """One RGB uint8 frame [H, W, 3] -> resized uint8
+    """One RGB frame [H, W, 3] -> resized uint8
     [image_size, image_size, 3]. The reference resizes the uint8 frame with
     cv2 and only then normalizes (misc.py:329-346); storing the resized
     uint8 is byte-exact with that pipeline, 4x smaller than fp16, and the
     /255 + ImageNet normalization runs on-device in fp32 (more precise than
-    the fork's fp16 frame buffer)."""
+    the fork's fp16 frame buffer).
+
+    Float frames are accepted in either [0, 1] (common from skimage /
+    matplotlib decoders) or [0, 255] — a [0, 1] frame cast straight to
+    uint8 would silently collapse to {0, 1} (near-black)."""
     if frame_rgb.dtype != np.uint8:
+        frame_rgb = np.asarray(frame_rgb, np.float32)
+        if frame_rgb.size and float(frame_rgb.max()) <= 1.0:
+            frame_rgb = frame_rgb * 255.0
         frame_rgb = np.clip(frame_rgb, 0, 255).astype(np.uint8)
     if cv2 is not None:
         return cv2.resize(frame_rgb, (image_size, image_size))
@@ -61,9 +67,11 @@ def load_video_frames(
     image_size: int,
 ) -> Tuple[List[np.ndarray], int, int]:
     """Polymorphic loader: JPEG dir / list of paths / single image path /
-    single ndarray frame / list of ndarray frames / video file (cv2).
+    single ndarray frame / [N, H, W, 3] ndarray stack / list of ndarray
+    frames / video file (cv2).
 
-    Returns (list of normalized fp16 NHWC frames, video_height, video_width).
+    Returns (list of RESIZED UINT8 HWC frames, video_height, video_width);
+    /255 + ImageNet normalization happens on-device (see prepare_frame).
     """
     if isinstance(video_path, np.ndarray):
         if video_path.ndim == 4:  # [N, H, W, 3] frame stack
@@ -118,7 +126,7 @@ def load_video_frames(
     h = w = None
     for p in img_paths:
         arr, h, w = _load_image_file(p, image_size)
-        frames.append(np.clip(arr * 255.0, 0, 255).astype(np.uint8))
+        frames.append(arr)
     return frames, h, w
 
 
@@ -139,21 +147,30 @@ def tensor_to_frame_rgb(
         from PIL import Image
 
         img = np.asarray(
-            Image.fromarray((img * 255).astype(np.uint8)).resize(original_size)
+            Image.fromarray(
+                np.clip(img * 255.0, 0, 255).astype(np.uint8)
+            ).resize(original_size)
         ).astype(np.float32) / 255.0
     return np.clip(img * 255.0, 0, 255).astype(np.uint8)
 
 
 def mask_to_box_np(masks: np.ndarray) -> np.ndarray:
-    """[..., H, W] binary -> xyxy [..., 4] (misc.py:64-87)."""
+    """[..., H, W] binary -> xyxy [..., 4]; empty masks -> zeros
+    (misc.py:64-87; also the AMG's batched_mask_to_box, amg.py:328-369 —
+    one vectorized implementation instead of a per-mask nonzero loop)."""
     shape = masks.shape[:-2]
     h, w = masks.shape[-2:]
+    if masks.size == 0:
+        return np.zeros((*shape, 4), np.float32)
     flat = masks.reshape(-1, h, w) > 0
-    out = np.zeros((flat.shape[0], 4), np.float32)
-    for i, m in enumerate(flat):
-        ys, xs = np.nonzero(m)
-        if len(ys):
-            out[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+    any_y = flat.any(axis=2)  # [B, H] rows containing foreground
+    any_x = flat.any(axis=1)  # [B, W] columns containing foreground
+    y_min = np.argmax(any_y, axis=1)
+    y_max = h - 1 - np.argmax(any_y[:, ::-1], axis=1)
+    x_min = np.argmax(any_x, axis=1)
+    x_max = w - 1 - np.argmax(any_x[:, ::-1], axis=1)
+    out = np.stack([x_min, y_min, x_max, y_max], axis=-1).astype(np.float32)
+    out[~any_y.any(axis=1)] = 0.0
     return out.reshape(*shape, 4)
 
 
@@ -203,10 +220,18 @@ def resize_masks_np(masks: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
     lead = masks.shape[:-2]
     flat = masks.reshape(-1, h, w).astype(np.float32)
     if cv2 is not None:
-        out = np.stack(
-            [cv2.resize(m, (ow, oh), interpolation=cv2.INTER_LINEAR)
-             for m in flat]
-        )
+        # batch masks through cv2's channel axis (this build rejects >128
+        # channels): AMG resizes hundreds of masks per point batch, and one
+        # multi-channel resize beats a Python loop of single-mask calls
+        b = flat.shape[0]
+        chunks = []
+        for i in range(0, b, 128):
+            hwc = np.ascontiguousarray(np.moveaxis(flat[i : i + 128], 0, -1))
+            r = cv2.resize(hwc, (ow, oh), interpolation=cv2.INTER_LINEAR)
+            if r.ndim == 2:  # cv2 squeezes single-channel outputs
+                r = r[:, :, None]
+            chunks.append(np.moveaxis(r, -1, 0))
+        out = np.concatenate(chunks, axis=0)
     else:
         j0, j1, v0, v1 = _bilinear_taps(w, ow)
         x = flat[:, :, j0] * v0[:, 0] + flat[:, :, j1] * v1[:, 0]
@@ -226,9 +251,11 @@ class AsyncFrameLoader:
 
         self.sources = list(sources)
         self.image_size = image_size
+        self.prefetch = prefetch
         self._frames: dict = {}
         self._cond = threading.Condition()
         self._error = None
+        self._max_requested = 0
         self.video_height = None
         self.video_width = None
         if self.sources:
@@ -241,20 +268,32 @@ class AsyncFrameLoader:
     def _load(self, idx: int) -> np.ndarray:
         src = self.sources[idx]
         if isinstance(src, np.ndarray):
-            rgb = src
-        else:
-            from PIL import Image
-
-            rgb = np.asarray(Image.open(src).convert("RGB"))
+            if self.video_height is None:
+                self.video_height, self.video_width = src.shape[:2]
+            return prepare_frame(src, self.image_size)
+        # byte-identical with the eager loader's PIL resize so
+        # async_loading_frames changes scheduling, not pixels
+        arr, h, w = _load_image_file(src, self.image_size)
         if self.video_height is None:
-            self.video_height, self.video_width = rgb.shape[:2]
-        return prepare_frame(rgb, self.image_size)
+            self.video_height, self.video_width = h, w
+        return arr
 
     def _worker(self):
         try:
             for i in range(len(self.sources)):
                 if i in self._frames:
                     continue
+                # decode at most `prefetch` frames ahead of the furthest
+                # consumer request: a 10k-frame list must not be decoded
+                # (and held) up-front when only the head is being read.
+                # Loaded frames stay cached for random access — the same
+                # retention as the fork's AsyncVideoFrameLoader images list.
+                with self._cond:
+                    while (
+                        i > self._max_requested + self.prefetch
+                        and self._error is None
+                    ):
+                        self._cond.wait(timeout=5)
                 frame = self._load(i)
                 with self._cond:
                     self._frames[i] = frame
@@ -268,7 +307,14 @@ class AsyncFrameLoader:
         return len(self.sources)
 
     def __getitem__(self, idx: int) -> np.ndarray:
+        if not (0 <= idx < len(self.sources)):
+            raise IndexError(
+                f"frame {idx} out of range [0, {len(self.sources)})"
+            )
         with self._cond:
+            if idx > self._max_requested:
+                self._max_requested = idx
+                self._cond.notify_all()  # wake the worker's prefetch gate
             while idx not in self._frames and self._error is None:
                 self._cond.wait(timeout=30)
             if self._error is not None:

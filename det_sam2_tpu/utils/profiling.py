@@ -64,6 +64,10 @@ def session_size_report(session) -> Dict[str, float]:
         "frames_host_mib": sum(
             f.nbytes for f in session.frames.values()
         ) / 2**20,
+        "frames_device_mib": pytree_nbytes(
+            list(getattr(session, "frames_dev", {}).values())
+        ) / 2**20,
+        "num_frames_dev_held": len(getattr(session, "frames_dev", {})),
         "cond_outputs_mib": pytree_nbytes(list(session.cond_outputs.values()))
         / 2**20,
         "noncond_outputs_mib": pytree_nbytes(

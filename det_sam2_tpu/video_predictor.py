@@ -22,6 +22,7 @@ clear_all_prompts_in_frame.
 from __future__ import annotations
 
 import collections
+import os
 import pickle
 from typing import Dict, Iterator, List, Optional, Tuple, Union
 
@@ -37,6 +38,7 @@ from det_sam2_tpu.modeling.sam2_base import (
 )
 from det_sam2_tpu.track import SAM2Engine
 from det_sam2_tpu.utils.misc import (
+    AsyncFrameLoader,
     concat_points,
     load_video_frames,
     resize_masks_np,
@@ -45,6 +47,42 @@ from det_sam2_tpu.utils.misc import (
 
 def _bucket(n: int) -> int:
     return bank_ops.next_pow2(n)
+
+
+class _LazyFrames(dict):
+    """session.frames backed by an AsyncFrameLoader: every index is a
+    member from the start (propagation's availability checks see the full
+    video), but the pixels materialize on first access, blocking only until
+    the background decode catches up (the reference's async_loading_frames,
+    sam2/utils/misc.py AsyncVideoFrameLoader)."""
+
+    def __init__(self, loader):
+        super().__init__((i, None) for i in range(len(loader)))
+        self._loader = loader
+
+    def _materialize(self, k):
+        v = dict.get(self, k)
+        if v is None and k in self:
+            v = self._loader[k]
+            dict.__setitem__(self, k, v)
+        return v
+
+    def get(self, k, default=None):
+        if k not in self:
+            return default
+        return self._materialize(k)
+
+    def __getitem__(self, k):
+        if k not in self:
+            raise KeyError(k)
+        return self._materialize(k)
+
+    def values(self):  # profiling/save: only materialized frames have bytes
+        return [v for v in dict.values(self) if v is not None]
+
+    def materialized(self) -> dict:
+        """Plain dict with every remaining frame decoded (for pickling)."""
+        return {k: self._materialize(k) for k in list(self.keys())}
 
 
 class InferenceSession:
@@ -169,9 +207,41 @@ class SAM2VideoPredictor:
         video_path: Union[str, List, np.ndarray],
         video_height: Optional[int] = None,
         video_width: Optional[int] = None,
+        async_loading_frames: bool = False,
     ) -> InferenceSession:
         """Load/normalize frames and build a fresh session
-        (sam2_video_predictor.py:43-120)."""
+        (sam2_video_predictor.py:43-120). With async_loading_frames, a
+        frame-dir / path-list source decodes on a background thread and
+        tracking starts immediately (reference init_state's flag)."""
+        if async_loading_frames:
+            paths = None
+            if isinstance(video_path, str) and os.path.isdir(video_path):
+                names = sorted(
+                    (
+                        n for n in os.listdir(video_path)
+                        if os.path.splitext(n)[-1].lower()
+                        in (".jpg", ".jpeg", ".png")
+                    ),
+                    key=lambda p: int(os.path.splitext(p)[0]),
+                )
+                paths = [os.path.join(video_path, n) for n in names]
+            elif isinstance(video_path, list) and video_path and isinstance(
+                video_path[0], str
+            ):
+                paths = list(video_path)
+            if paths:
+                loader = AsyncFrameLoader(paths, self.image_size)
+                loader[0]  # sets video_height/width, surfaces bad paths now
+                session = InferenceSession(
+                    self.cfg,
+                    video_height or loader.video_height,
+                    video_width or loader.video_width,
+                )
+                session.frames = _LazyFrames(loader)
+                session.num_frames = len(loader)
+                self._get_feats(session, 0)
+                return session
+            # ndarray sources are already decoded — fall through
         frames, h, w = load_video_frames(video_path, self.image_size)
         session = InferenceSession(
             self.cfg, video_height or h, video_width or w
@@ -918,7 +988,11 @@ class SAM2VideoPredictor:
             "noncond_outputs": session.noncond_outputs,
             "frames_already_tracked": session.frames_already_tracked,
             "tracked_ranges": session.tracked_ranges,
-            "frames": session.frames,
+            "frames": (
+                session.frames.materialized()
+                if isinstance(session.frames, _LazyFrames)
+                else session.frames
+            ),
             "pre_frames": session.pre_frames,
             "preload_cond_indices": session.preload_cond_indices,
         }

@@ -153,6 +153,13 @@ def generators(request):
         (s // 4, s // 4), (s // 8, s // 8), (s // 16, s // 16)
     ]
     my_gen = SAM2AutomaticMaskGenerator(SAM2ImagePredictor(engine), **kw)
+    # the mounted reference's connected-components CUDA ext is unavailable,
+    # so ITS predictor-level hole/sprinkle fill silently no-ops (its
+    # postprocess_masks catches the error and warns); neutralize ours too
+    # for an apples-to-apples comparison. The fill semantics themselves are
+    # covered by test_image_predictor_amg.py::test_low_res_hole_filling.
+    my_gen.predictor.max_hole_area = 0.0
+    my_gen.predictor.max_sprinkle_area = 0.0
     return ref_gen, my_gen
 
 

@@ -102,6 +102,54 @@ def test_image_predictor_api(image_predictor):
     np.testing.assert_allclose(bious[0], s_ious, atol=1e-5)
 
 
+def test_low_res_hole_filling(image_predictor):
+    """Hole/sprinkle cleanup runs on the LOW-RES masks with areas in
+    low-res pixels (reference sam2/utils/transforms.py:84-120): a small
+    hole fills, a hole above the threshold does not — even though its
+    full-res footprint is far larger than the threshold."""
+    import copy
+
+    pred = copy.copy(image_predictor)
+    pred.max_hole_area = 4.0
+    pred.max_sprinkle_area = 0.0
+    pred._orig_hw = (128, 128)  # 4x the 32x32 low-res grid
+
+    low = np.full((1, 32, 32), 5.0, np.float32)
+    low[0, 4:6, 4:6] = -5.0  # 4-px hole: exactly at the threshold -> fill
+    low[0, 12:15, 12:15] = -5.0  # 9-px hole: above threshold -> keep
+    masks = pred._postprocess(low, return_logits=False)
+    assert masks.shape == (1, 128, 128)
+    assert masks[0, 18, 18], "4-low-res-px hole must be filled"
+    # 9 low-res px = 144 full-res px; filling at full resolution with
+    # threshold 4 would also keep it, but a full-res fill interpreting the
+    # 4-px threshold would wrongly FILL the small hole's 64-px footprint
+    # only if run at low res — the big hole must survive either way
+    assert not masks[0, 52, 52], "9-low-res-px hole must be kept"
+
+
+@pytest.mark.slow
+def test_predict_batch_applies_hole_filling(image_predictor):
+    """The same-image predict_batch path (AMG hot path) must apply the
+    same cleanup as predict() (the reference postprocesses every
+    _predict)."""
+    import copy
+
+    pred = copy.copy(image_predictor)
+    pred.max_hole_area = 16.0
+    pred.max_sprinkle_area = 16.0
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (96, 120, 3), np.uint8)
+    pred.set_image(img)
+    s_masks, _, _ = pred.predict(
+        point_coords=np.asarray([[40.0, 50.0]]),
+        point_labels=np.asarray([1]),
+    )
+    b_masks, _, _ = pred.predict_batch(
+        np.asarray([[[40.0, 50.0]]], np.float32), np.ones((1, 1), np.int32)
+    )
+    np.testing.assert_array_equal(b_masks[0], s_masks)
+
+
 @pytest.mark.slow
 def test_amg_generates_records(image_predictor):
     rng = np.random.default_rng(1)

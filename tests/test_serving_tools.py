@@ -194,10 +194,44 @@ def test_vos_separate_per_object_later_appearance(predictor, tmp_path):
     assert (a2 == 2).any(), "object 2 at its prompt frame 2"
 
 
+@pytest.mark.slow
+def test_init_state_async_loading(predictor, tmp_path):
+    """init_state(async_loading_frames=True) over a frame dir: tracking
+    results identical to the eager path (reference init_state flag,
+    sam2_video_predictor.py:43-120)."""
+    from PIL import Image
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    for i, f in enumerate(_frames(5)):
+        Image.fromarray(f).save(frames_dir / f"{i:05d}.png")
+
+    def run(async_flag):
+        s = predictor.init_state(
+            str(frames_dir), async_loading_frames=async_flag
+        )
+        predictor.add_new_points_or_box(
+            s, frame_idx=0, obj_id=1,
+            box=np.asarray([8, 20, 32, 50], np.float32),
+        )
+        return {
+            fi: m.copy()
+            for fi, _, m in predictor.propagate_in_video(s)
+        }
+
+    sync_out = run(False)
+    async_out = run(True)
+    assert sorted(async_out) == sorted(sync_out) == [0, 1, 2, 3, 4]
+    for fi in sync_out:
+        np.testing.assert_array_equal(async_out[fi], sync_out[fi])
+
+
 def test_async_frame_loader(tmp_path):
     from PIL import Image
 
-    from det_sam2_tpu.utils.misc import AsyncFrameLoader, prepare_frame
+    from det_sam2_tpu.utils.misc import (
+        AsyncFrameLoader, _load_image_file, prepare_frame,
+    )
 
     frames = _frames(5)
     paths = []
@@ -209,10 +243,14 @@ def test_async_frame_loader(tmp_path):
     assert len(loader) == 5
     assert loader[4].shape == (64, 64, 3)
     assert loader.video_height == H and loader.video_width == W
-    np.testing.assert_array_equal(loader[2], prepare_frame(frames[2], 64))
-    # ndarray sources too
+    # path sources are byte-identical with the eager loader (PIL resize)
+    np.testing.assert_array_equal(loader[2], _load_image_file(paths[2], 64)[0])
+    with pytest.raises(IndexError):
+        loader[5]
+    # ndarray sources resize the streaming way (prepare_frame/cv2)
     loader2 = AsyncFrameLoader(frames, image_size=32)
     assert loader2[0].dtype == np.uint8
+    np.testing.assert_array_equal(loader2[1], prepare_frame(frames[1], 32))
 
 
 def test_transcode_and_extract(tmp_path):
