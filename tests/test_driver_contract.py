@@ -33,9 +33,16 @@ def test_graft_entry_constructs():
 
     fn, args = g.entry()
     assert callable(fn)
-    params, img, bank, frame_idx, num_frames = args
+    params, img, bank, frame_idx, num_frames, obj_valid = args
     assert img.shape[-1] == 3
     assert bank.num_objects == 2
+    # the driver compile-checks fn(*args); tracing must succeed with the
+    # example args EXACTLY as given (round-3 regression: a new body arg
+    # not threaded through entry() broke the call signature)
+    import jax
+
+    out = jax.eval_shape(fn, *args)
+    assert out is not None
 
 
 @pytest.mark.slow
