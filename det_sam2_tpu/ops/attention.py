@@ -470,11 +470,21 @@ def flash_attention(
         bf = bf.reshape(b * h, nk)
     def _pick_block(n, cap):
         # prefer a block that divides n exactly (no padding waste); when
-        # nothing divides, fall back to 128 — _flash_call pads to the
-        # block multiple, and any other fallback (e.g. n itself) could be
-        # a Mosaic-illegal tile (second-minor not a multiple of 16)
+        # nothing divides, fall back to the LARGEST legal block <= cap —
+        # _flash_call pads to the block multiple and bias-masks the padded
+        # keys, and every candidate is a multiple of 128 (Mosaic-legal
+        # tile). Falling back to 128 here (a previous "fix") quartered the
+        # memory cross-attention throughput: its Nk = 7*S + ptr tokens
+        # (16192 @768^2, 28736 @1024^2) divides NONE of the candidates, so
+        # the whole streaming hot path ran at block_k=128 (measured
+        # hiera-L 768^2: 41.7 -> 55 FPS restoring the big block). Only a
+        # raw `n` fallback would risk an illegal tile; capped candidates
+        # never do.
         for b in (1024, 768, 512, 384, 256, 128):
             if b <= cap and n % b == 0:
+                return b
+        for b in (1024, 768, 512, 384, 256, 128):
+            if b <= cap:
                 return b
         return 128
 

@@ -622,9 +622,14 @@ class SAM2Engine:
                     bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim),
                     obj_ptr, obj_valid=obj_valid,
                 )
-                low_res = _maybe_fill_holes(cfg, low_res)
                 # fp16 mask logits: halves the per-window download (the
-                # predictor stores them fp16 anyway)
+                # predictor stores them fp16 anyway). fill-holes runs ONCE
+                # on the stacked [T, O, ...] outputs after the scan — the
+                # reference also fills only the STORED masks, after memory
+                # encoding (sam2_video_predictor.py:1341-1347), so batching
+                # it out of the carry is semantics-preserving and lets the
+                # CC propagation rounds + histogram matmuls batch over T*O
+                # masks instead of paying per-frame overhead.
                 return new_bank, (
                     low_res.astype(jnp.float16),
                     obj_ptr.astype(jnp.float32),
@@ -644,9 +649,34 @@ class SAM2Engine:
                 return jax.lax.cond(skip, skip_step, run_step, bank, i_img,
                                     frame_idx)
 
-            return jax.lax.scan(
+            new_bank, (low, ptr, logits) = jax.lax.scan(
                 step, bank, (frame_indices, skips, img_idx)
             )
+            if cfg.fill_hole_area > 0:
+                # batched fill over the stacked outputs, in chunks of
+                # frames (skip-frame rows are all-zero planes: one
+                # >max_area background component, provably untouched).
+                # fp32 for the <=0 threshold test, matching the per-frame
+                # path up to fp16 rounding of the raw logits. The chunk
+                # size bounds the one-hot histogram working set (~100 MB
+                # per s4=256 mask) while amortizing the propagation rounds
+                # over chunk*O masks.
+                o = low.shape[1]
+                chunk = max(1, 8 // max(o, 1))
+                tt = low.shape[0]
+                pad_t = (-tt) % chunk
+                lowp = jnp.pad(low, ((0, pad_t),) + ((0, 0),) * (low.ndim - 1))
+                lowp = lowp.reshape(
+                    (tt + pad_t) // chunk, chunk * o, *low.shape[2:]
+                )
+                lowp = jax.lax.map(
+                    lambda m: _maybe_fill_holes(
+                        cfg, m.astype(jnp.float32)
+                    ).astype(jnp.float16),
+                    lowp,
+                )
+                low = lowp.reshape(tt + pad_t, o, *low.shape[2:])[:tt]
+            return new_bank, (low, ptr, logits)
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 

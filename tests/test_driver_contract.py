@@ -95,3 +95,61 @@ def test_stream_step_matches_encode_plus_track():
         np.asarray(bank_a.noncond_mem), np.asarray(bank_b.noncond_mem),
         rtol=1e-5, atol=1e-5,
     )
+
+
+@pytest.mark.slow
+def test_propagate_window_fill_holes_matches_stream_steps():
+    """The scan path's batched POST-scan fill-holes must produce the same
+    outputs as per-frame stream_step + per-frame fill (fill_hole_area > 0;
+    round-3 change: fill moved out of the scan carry onto the stacked
+    [T, O, ...] outputs, chunked lax.map)."""
+    import dataclasses
+
+    from det_sam2_tpu.track import _maybe_fill_holes
+
+    cfg = dataclasses.replace(tiny_test_config(), fill_hole_area=4)
+    engine = SAM2Engine(cfg)
+    rng = np.random.default_rng(3)
+    s = cfg.image_size
+    t = 5
+    frames = rng.integers(0, 255, (t, s, s, 3)).astype(np.uint8)
+
+    def prompt(bank):
+        feats = engine.encode_image(jnp.asarray(frames[:1]))
+        boxes = jnp.asarray([[[10.0, 10.0], [60.0, 70.0]]], jnp.float32)
+        labels = jnp.asarray([[2, 3]], jnp.int32)
+        out = engine.prompt_step(feats, bank, 0, t + 1, boxes, labels,
+                                 is_init=True)
+        return engine.encode_cond_memory(
+            feats, bank, 0, out["pred_masks"], out["object_score_logits"],
+            out["obj_ptr"],
+        )
+
+    bank_a = prompt(init_bank(cfg, num_objects=1))
+    bank_b = prompt(init_bank(cfg, num_objects=1))
+
+    fi = np.arange(1, t + 1, dtype=np.int32)
+    bank_a, (low_a, _, _) = engine.propagate_window(
+        frames[1:].repeat(1, axis=0) if False else frames[:t],
+        bank_a, fi, np.zeros(t, bool), t + 1,
+    )
+
+    per_frame = []
+    for k in range(t):
+        bank_b, out_b = engine.stream_step(
+            jnp.asarray(frames[k : k + 1]), bank_b, int(fi[k]), t + 1
+        )
+        per_frame.append(np.asarray(out_b["pred_masks"], np.float32))
+    ref = np.stack(per_frame)
+
+    # stream_step fills per frame in fp32; the scan path fills the fp16-
+    # rounded logits — identical hole decisions away from the 0-crossing
+    got = np.asarray(low_a, np.float32)
+    assert np.abs(got - ref).max() < 2e-2, np.abs(got - ref).max()
+    # the filled value (0.1) must appear identically: compare hole sets
+    assert ((got == 0.1) == (ref == 0.1)).mean() > 0.999
+    np.testing.assert_allclose(
+        np.asarray(bank_a.noncond_mem, np.float32),
+        np.asarray(bank_b.noncond_mem, np.float32),
+        rtol=1e-4, atol=1e-4,
+    )
