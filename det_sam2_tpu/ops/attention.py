@@ -432,6 +432,31 @@ def _flash_core_bwd(block_q, block_k, interpret, res, dout):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+_BLOCK_CANDIDATES = (1024, 768, 512, 384, 256, 128)
+
+
+def _pick_block(n: int, cap: int) -> int:
+    """Choose a flash kernel block size for a sequence length n.
+
+    Prefer a candidate that divides n exactly (no padding waste); when
+    nothing divides, fall back to the LARGEST legal block <= cap —
+    _flash_call pads to the block multiple and bias-masks the padded keys,
+    and every candidate is a multiple of 128 (Mosaic-legal tile). Falling
+    back to 128 here (a round-3 "alignment fix") quartered the memory
+    cross-attention throughput: its Nk = 7*S + ptr tokens (16192 @768^2,
+    28736 @1024^2) divides NONE of the candidates, so the whole streaming
+    hot path ran at block_k=128 (hiera-L 768^2: 41.7 vs 55.6 FPS). Only a
+    raw `n` fallback would risk an illegal tile; capped candidates never
+    do. Guarded by tests/test_flash_attention.py."""
+    for b in _BLOCK_CANDIDATES:
+        if b <= cap and n % b == 0:
+            return b
+    for b in _BLOCK_CANDIDATES:
+        if b <= cap:
+            return b
+    return 128
+
+
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -468,26 +493,6 @@ def flash_attention(
     if bias is not None:
         bf = jnp.broadcast_to(bias[:, 0, 0, :][:, None, :], (b, h, nk))
         bf = bf.reshape(b * h, nk)
-    def _pick_block(n, cap):
-        # prefer a block that divides n exactly (no padding waste); when
-        # nothing divides, fall back to the LARGEST legal block <= cap —
-        # _flash_call pads to the block multiple and bias-masks the padded
-        # keys, and every candidate is a multiple of 128 (Mosaic-legal
-        # tile). Falling back to 128 here (a previous "fix") quartered the
-        # memory cross-attention throughput: its Nk = 7*S + ptr tokens
-        # (16192 @768^2, 28736 @1024^2) divides NONE of the candidates, so
-        # the whole streaming hot path ran at block_k=128 (measured
-        # hiera-L 768^2: 41.7 -> 55 FPS restoring the big block). Only a
-        # raw `n` fallback would risk an illegal tile; capped candidates
-        # never do.
-        for b in (1024, 768, 512, 384, 256, 128):
-            if b <= cap and n % b == 0:
-                return b
-        for b in (1024, 768, 512, 384, 256, 128):
-            if b <= cap:
-                return b
-        return 128
-
     block_q_eff = _pick_block(nq, block_q)
     block_k_eff = _pick_block(nk, block_k)
     out = _flash_core(

@@ -171,3 +171,23 @@ def test_flash_dv_narrower_than_dq():
     for a, b_ in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_block_fallback_prefers_large_blocks():
+    """The memory cross-attention key length (7*S + ptr tokens: 16192 at
+    768^2, 28736 at 1024^2) divides NONE of the candidate blocks; the
+    fallback must still pick the LARGEST legal block, not 128 — a 128
+    fallback cost 40% of streaming throughput in round 3 (hiera-L 55.6 ->
+    41.7 FPS @768^2). Padding is legal: _flash_call pads to the block
+    multiple and bias-masks the padded keys."""
+    from det_sam2_tpu.ops.attention import _pick_block
+
+    # divisible: no padding waste
+    assert _pick_block(2304, 1024) == 768
+    assert _pick_block(4096, 1024) == 1024
+    # not divisible by any candidate: largest block <= cap, padded
+    assert _pick_block(16192, 1024) == 1024
+    assert _pick_block(28736, 1024) == 1024
+    assert _pick_block(16192, 512) == 512
+    # caps below 128 still return a legal block
+    assert _pick_block(16192, 64) == 128
