@@ -15,9 +15,11 @@ too).
 from __future__ import annotations
 
 import base64
+import json
 import os
 import re
 import tempfile
+import urllib.parse
 import uuid
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -136,7 +138,13 @@ class _Parser:
     def parse_value(self) -> Any:
         kind, val = self.next()
         if kind == "string":
-            return val[1:-1].encode().decode("unicode_escape")
+            # GraphQL string escapes are JSON's (\" \\ \/ \b \f \n \r \t
+            # \uXXXX) — json.loads handles them without mangling non-ASCII
+            # (unicode_escape would mojibake UTF-8 as Latin-1)
+            try:
+                return json.loads(val)
+            except ValueError:
+                return val[1:-1]
         if kind == "number":
             return float(val) if "." in val else int(val)
         if val == "$":
@@ -205,6 +213,13 @@ def _filter_selection(data: Any, selections: Optional[List[dict]]) -> Any:
 class GraphQLAPI:
     """Resolvers for the reference schema's operations."""
 
+    # server-side ceiling on uploaded-video duration; the client's
+    # durationTimeSec can only lower it (reference app_conf.py:27
+    # MAX_UPLOAD_VIDEO_DURATION, env-overridable there too)
+    MAX_UPLOAD_DURATION = float(
+        os.environ.get("MAX_UPLOAD_VIDEO_DURATION", "10")
+    )
+
     def __init__(
         self,
         api: InferenceAPI,
@@ -227,7 +242,7 @@ class GraphQLAPI:
         return {
             "id": base64.urlsafe_b64encode(path.encode()).decode(),
             "path": path,
-            "url": f"/video?path={path}",
+            "url": "/video?path=" + urllib.parse.quote(path),
             "width": meta["width"],
             "height": meta["height"],
             "fps": meta["fps"],
@@ -272,7 +287,11 @@ class GraphQLAPI:
         try:
             transcode(
                 raw, out,
-                max_seconds=float(args.get("durationTimeSec") or 10.0),
+                max_seconds=min(
+                    float(args.get("durationTimeSec")
+                          or self.MAX_UPLOAD_DURATION),
+                    self.MAX_UPLOAD_DURATION,
+                ),
             )
         finally:
             os.unlink(raw)

@@ -66,6 +66,53 @@ def make_handler(api: InferenceAPI, gql: Optional["GraphQLAPI"] = None):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_file(self, path: str):
+            """Stream a file in 1 MiB chunks; honors a single-span Range
+            header (browser <video> seeking) and guesses the MIME type —
+            gallery listings include .avi/.mov/.mkv, not just mp4."""
+            import mimetypes
+
+            ctype = mimetypes.guess_type(path)[0] or "video/mp4"
+            size = os.path.getsize(path)
+            start, end = 0, size - 1
+            rng = self.headers.get("Range")
+            code = 200
+            if rng and rng.startswith("bytes="):
+                span = rng[len("bytes="):].split(",")[0]
+                s, _, e = span.partition("-")
+                if s:
+                    start = int(s)
+                    end = int(e) if e else size - 1
+                elif e:  # suffix range: last N bytes
+                    start = max(0, size - int(e))
+                if start >= size:
+                    self.send_response(416)
+                    self.send_header("Content-Range", f"bytes */{size}")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
+                    return
+                end = min(end, size - 1)
+                code = 206
+            length = end - start + 1
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(length))
+            self.send_header("Accept-Ranges", "bytes")
+            if code == 206:
+                self.send_header(
+                    "Content-Range", f"bytes {start}-{end}/{size}"
+                )
+            self.end_headers()
+            with open(path, "rb") as f:
+                f.seek(start)
+                left = length
+                while left > 0:
+                    buf = f.read(min(1 << 20, left))
+                    if not buf:
+                        break
+                    self.wfile.write(buf)
+                    left -= len(buf)
+
         def do_GET(self):
             try:
                 url = urlparse(self.path)
@@ -93,8 +140,7 @@ def make_handler(api: InferenceAPI, gql: Optional["GraphQLAPI"] = None):
                     ):
                         self._json(403, {"error": "path outside gallery"})
                         return
-                    with open(real, "rb") as f:
-                        self._bytes(200, f.read(), "video/mp4")
+                    self._send_file(real)
                 else:
                     self._json(404, {"error": "not found"})
             except Exception as e:
@@ -149,20 +195,39 @@ def make_handler(api: InferenceAPI, gql: Optional["GraphQLAPI"] = None):
                 elif route == "/close_session":
                     self._json(200, api.close_session(body["session_id"]))
                 elif route == "/propagate_in_video":
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/x-ndjson")
-                    self.send_header("Transfer-Encoding", "chunked")
-                    self.end_headers()
-                    for item in api.propagate_in_video(
+                    gen = api.propagate_in_video(
                         body["session_id"],
                         body.get("start_frame_index"),
                         body.get("max_frame_num_to_track"),
                         body.get("reverse", False),
-                    ):
-                        chunk = (json.dumps(item) + "\n").encode()
+                    )
+                    # pull the first item BEFORE committing the 200 — a
+                    # generator defers argument errors (unknown session_id)
+                    # to first iteration, and a second response written
+                    # into an open chunked stream corrupts the connection
+                    try:
+                        first = next(gen)
+                    except StopIteration:
+                        first = None
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.send_header("Transfer-Encoding", "chunked")
+                    self.end_headers()
+
+                    def _chunk(obj):
+                        line = (json.dumps(obj) + "\n").encode()
                         self.wfile.write(
-                            f"{len(chunk):x}\r\n".encode() + chunk + b"\r\n"
+                            f"{len(line):x}\r\n".encode() + line + b"\r\n"
                         )
+
+                    try:
+                        if first is not None:
+                            _chunk(first)
+                        for item in gen:
+                            _chunk(item)
+                    except Exception as e:  # mid-stream: final error line
+                        traceback.print_exc()
+                        _chunk({"error": str(e)})
                     self.wfile.write(b"0\r\n\r\n")
                 else:
                     self._json(404, {"error": f"unknown route {route}"})

@@ -63,20 +63,26 @@ def transcode(
     writer = cv2.VideoWriter(
         out_path, cv2.VideoWriter_fourcc(*"mp4v"), out_fps, (out_w, out_h)
     )
-    step = max(meta["fps"] / out_fps, 1e-6)
+    # ffmpeg `fps=` semantics: output tick j shows the source frame at
+    # floor(j * src_fps / out_fps) — duplicates when upsampling, drops
+    # when downsampling, so playback speed is preserved either way. The
+    # duration cap is measured in SOURCE time (ffmpeg's `-t`), not output
+    # frames.
+    src_fps = max(meta["fps"], 1e-6)
+    max_src = int(round(max_seconds * src_fps))
     written = 0
     src_idx = 0
-    next_keep = 0.0
-    while written < max_frames:
+    while written < max_frames and src_idx < max_src:
         ok, frame = cap.read()
         if not ok:
             break
-        if src_idx >= next_keep:
+        if int(written * src_fps / out_fps) == src_idx:
             if (frame.shape[1], frame.shape[0]) != (out_w, out_h):
                 frame = cv2.resize(frame, (out_w, out_h))
-            writer.write(frame)
-            written += 1
-            next_keep += step
+            while (written < max_frames
+                   and int(written * src_fps / out_fps) == src_idx):
+                writer.write(frame)
+                written += 1
         src_idx += 1
     cap.release()
     writer.release()

@@ -22,7 +22,6 @@ import numpy as np
 from det_sam2_tpu.configs import SAM2Config
 from det_sam2_tpu.modeling.layers import sdpa
 from det_sam2_tpu.ops.attention import flash_attention
-from det_sam2_tpu.ops.window_attention import packed_window_attention
 from det_sam2_tpu.ops.connected_components import fill_holes_in_mask_scores_jax
 from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
@@ -154,12 +153,13 @@ class SAM2Engine:
         if attention_fn is None:
             # Pallas flash kernel on TPU (falls back internally for small
             # problems); plain XLA sdpa elsewhere. NOTE: the Pallas
-            # multi-window trunk kernel (ops/window_attention.py) was
+            # multi-window trunk kernel (ops/window_attention.py
+            # multi_window_attention, the fn(q, k, v) hiera hook) was
             # measured SLOWER than XLA's batched window path on v5e (25-31
             # vs 18 ms hiera-L encoder — many small grid cells, lane-pad
-            # waste at head_dim 72), so it is NOT selected by default;
-            # pass window_attention_fn=packed_window_attention explicitly
-            # to experiment.
+            # waste at head_dim 72), so window_attention_fn stays None
+            # here; construct SAM2Model directly with it to experiment
+            # (tests/test_window_attention.py does).
             if jax.default_backend() == "tpu":
                 attention_fn = flash_attention
             else:
