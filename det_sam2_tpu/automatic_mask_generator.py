@@ -65,13 +65,6 @@ class SAM2AutomaticMaskGenerator:
             )
         assert output_mode in ("binary_mask", "uncompressed_rle", "coco_rle")
         self.predictor = predictor
-        if min_mask_region_area > 0:
-            # the reference constructs its predictor with hole/sprinkle
-            # areas = min_mask_region_area so every _predict fills low-res
-            # holes (automatic_mask_generator.py:116-119); mirror that on
-            # the caller-supplied predictor
-            predictor.max_hole_area = float(min_mask_region_area)
-            predictor.max_sprinkle_area = float(min_mask_region_area)
         self.point_grids = point_grids
         self.points_per_batch = points_per_batch
         self.pred_iou_thresh = pred_iou_thresh
@@ -86,13 +79,37 @@ class SAM2AutomaticMaskGenerator:
         self.output_mode = output_mode
         self.use_m2m = use_m2m
         self.multimask_output = multimask_output
+        # None -> min_mask_region_area (reference behavior); set to 0.0 to
+        # disable the per-predict low-res fill while keeping the host
+        # small-region postprocess
+        self.predictor_fill_area: Optional[float] = None
 
     # ------------------------------------------------------------------
 
     def generate(self, image: np.ndarray) -> List[Dict[str, Any]]:
         """image: RGB uint8 [H, W, 3] -> list of mask records
         (reference generate :~150-230)."""
-        mask_data = self._generate_masks(image)
+        # the reference constructs its OWN predictor with hole/sprinkle
+        # areas = min_mask_region_area so every _predict fills low-res
+        # holes (automatic_mask_generator.py:116-119); ours is caller-
+        # supplied and possibly shared, so apply the areas only for the
+        # duration of this generate() instead of mutating it permanently.
+        # predictor_fill_area overrides the per-predict fill size without
+        # touching the host postprocess_small_regions pass (0 disables —
+        # used to compare against a reference whose CUDA CC ext no-ops).
+        fill = self.predictor_fill_area
+        if fill is None:
+            fill = float(self.min_mask_region_area)
+        saved = (self.predictor.max_hole_area,
+                 self.predictor.max_sprinkle_area)
+        if fill > 0:
+            self.predictor.max_hole_area = fill
+            self.predictor.max_sprinkle_area = fill
+        try:
+            mask_data = self._generate_masks(image)
+        finally:
+            (self.predictor.max_hole_area,
+             self.predictor.max_sprinkle_area) = saved
         if self.min_mask_region_area > 0:
             mask_data = self.postprocess_small_regions(
                 mask_data, self.min_mask_region_area,

@@ -14,7 +14,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from det_sam2_tpu.configs import MODEL_CONFIGS, SAM2Config
+from det_sam2_tpu.configs import MODEL_CONFIGS, SAM2Config, with_image_size
 from det_sam2_tpu.image_predictor import SAM2ImagePredictor
 from det_sam2_tpu.track import SAM2Engine
 from det_sam2_tpu.video_predictor import SAM2VideoPredictor
@@ -29,13 +29,22 @@ HF_MODEL_IDS = {
 
 
 def _resolve_cfg(model_cfg, **overrides) -> SAM2Config:
+    # image_size is NOT an independent field: the memory-attention RoPE
+    # grid tracks image_size/backbone_stride, so route it through
+    # with_image_size (a bare dataclasses.replace builds a config that
+    # compiles but asserts at the first memory-conditioned frame)
+    image_size = overrides.pop("image_size", None)
+
+    def _sized(cfg: SAM2Config) -> SAM2Config:
+        return cfg if image_size is None else with_image_size(cfg, image_size)
+
     if isinstance(model_cfg, SAM2Config):
         cfg = model_cfg
         if overrides:
             import dataclasses
 
             cfg = dataclasses.replace(cfg, **overrides)
-        return cfg
+        return _sized(cfg)
     if isinstance(model_cfg, str):
         key = model_cfg
         if key in HF_MODEL_IDS:
@@ -45,7 +54,7 @@ def _resolve_cfg(model_cfg, **overrides) -> SAM2Config:
             .replace("configs/sam2.1/", "")
         )
         if key in MODEL_CONFIGS:
-            return MODEL_CONFIGS[key](**overrides)
+            return _sized(MODEL_CONFIGS[key](**overrides))
     raise ValueError(
         f"unknown model config {model_cfg!r}; use one of {list(MODEL_CONFIGS)}"
     )

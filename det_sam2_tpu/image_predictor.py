@@ -93,12 +93,15 @@ class SAM2ImagePredictor:
         self._orig_hw = self._orig_hw_list[index]
 
     def _transform_coords(self, coords: np.ndarray, normalize: bool) -> np.ndarray:
+        """Reference transforms.py transform_coords: scale to model pixels
+        ALWAYS; normalize=True additionally divides by the original size
+        first (normalize_coords=False means the inputs are already in
+        [0, 1], not model pixels)."""
         coords = np.asarray(coords, np.float32)
         if normalize:
             h, w = self._orig_hw
             coords = coords / np.asarray([w, h], np.float32)
-            coords = coords * self.image_size
-        return coords
+        return coords * self.image_size
 
     def predict(
         self,
@@ -123,19 +126,20 @@ class SAM2ImagePredictor:
             )
         coords, labels = self._prepare_prompts(
             point_coords, point_labels, box, normalize_coords
-        )
+        )  # [B, N, 2] / [B, N] — B > 1 for batched box prompts
         mi = None
         if mask_input is not None:
             mi = np.asarray(mask_input, np.float32)
             if mi.ndim == 3:
                 mi = mi[None]
         out = self.engine.predict_step(
-            self._features, coords[None] if coords.ndim == 2 else coords,
-            labels[None] if labels.ndim == 1 else labels,
+            self._features, coords, labels,
             mask_input=mi, multimask=multimask_output,
         )
-        multimasks = np.asarray(out["multimasks"], np.float32)[0]  # [M, s4, s4]
-        ious = np.asarray(out["ious"], np.float32)[0]
+        multimasks = np.asarray(out["multimasks"], np.float32)  # [B, M, s4, s4]
+        ious = np.asarray(out["ious"], np.float32)
+        if coords.shape[0] == 1:  # reference squeeze(0): single prompt row
+            multimasks, ious = multimasks[0], ious[0]
         masks = self._postprocess(multimasks, return_logits)
         return masks, ious, multimasks
 
@@ -147,7 +151,7 @@ class SAM2ImagePredictor:
         multimask_output: bool = True,
         return_logits: bool = False,
         normalize_coords: bool = True,
-        box_batch=None,  # list of per-image boxes (batch-image mode only)
+        box_batch=None,  # list per image, or [B, 4] in same-image mode
     ):
         """Two modes sharing the reference's argument surface:
 
@@ -171,9 +175,12 @@ class SAM2ImagePredictor:
                 "call set_image (or set_image_batch + select_batch_image) "
                 "before predict_batch with a same-image prompt batch"
             )
-        coords = self._transform_coords(point_coords_batch, normalize_coords)
+        coords, labels = self._prepare_prompts(
+            point_coords_batch, point_labels_batch, box_batch,
+            normalize_coords,
+        )  # box_batch ([B, 4]) joins each row ahead of its points
         out = self.engine.predict_step(
-            self._features, coords, np.asarray(point_labels_batch, np.int32),
+            self._features, coords, labels,
             mask_input=mask_input_batch,
             multimask=multimask_output,
         )
@@ -215,23 +222,38 @@ class SAM2ImagePredictor:
         return all_masks, all_ious, all_low
 
     def _prepare_prompts(self, point_coords, point_labels, box, normalize):
-        parts_c, parts_l = [], []
+        """Build batched prompt rows [B, N, 2] / [B, N] (reference _predict
+        :393-406: a Bx4 `box` becomes B rows each starting with the
+        [2, 3]-labeled corner pair, merged with same-batch points)."""
+        box_c = box_l = None
         if box is not None:
-            b = self._transform_coords(
-                np.asarray(box, np.float32).reshape(2, 2), normalize
-            )
-            parts_c.append(b)
-            parts_l.append(np.asarray([2, 3], np.int32))
+            b = np.asarray(box, np.float32).reshape(-1, 2, 2)  # [B, 2, 2]
+            box_c = self._transform_coords(b, normalize)
+            box_l = np.tile(np.asarray([[2, 3]], np.int32), (b.shape[0], 1))
+        pt_c = pt_l = None
         if point_coords is not None:
             assert point_labels is not None
-            parts_c.append(self._transform_coords(
+            pt_c = self._transform_coords(
                 np.asarray(point_coords, np.float32), normalize
-            ))
-            parts_l.append(np.asarray(point_labels, np.int32))
-        if not parts_c:
-            parts_c.append(np.zeros((1, 2), np.float32))
-            parts_l.append(-np.ones((1,), np.int32))
-        return np.concatenate(parts_c, axis=0), np.concatenate(parts_l, axis=0)
+            )
+            pt_l = np.asarray(point_labels, np.int32)
+            if pt_c.ndim == 2:
+                pt_c, pt_l = pt_c[None], pt_l[None]
+        if box_c is not None and pt_c is not None:
+            if box_c.shape[0] != pt_c.shape[0]:
+                raise ValueError(
+                    f"box batch {box_c.shape[0]} != point batch "
+                    f"{pt_c.shape[0]} (the reference's torch.cat has the "
+                    "same per-row pairing requirement)"
+                )
+            return (np.concatenate([box_c, pt_c], axis=1),
+                    np.concatenate([box_l, pt_l], axis=1))
+        if box_c is not None:
+            return box_c, box_l
+        if pt_c is not None:
+            return pt_c, pt_l
+        return (np.zeros((1, 1, 2), np.float32),
+                -np.ones((1, 1), np.int32))
 
     def _postprocess(self, low_res_masks: np.ndarray, return_logits: bool):
         """Optional hole/sprinkle cleanup on the LOW-RES masks, then upscale

@@ -28,6 +28,7 @@ from det_sam2_tpu.modeling.layers import (
     LayerNorm,
     MLP,
     approx_gelu,
+    drop_path,
     exact_gelu,
     sdpa,
 )
@@ -209,6 +210,12 @@ class MultiScaleAttention(nn.Module):
     window_attention_fn: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
     quant: bool = False
+    # static dispatch: global-attention blocks must use attention_fn (the
+    # flash kernel) regardless of batch size — inferring window-vs-global
+    # from `b > 1` sent BATCHED encodes (set_image_batch / AMG crops) down
+    # the windowed einsum path, materializing [B, heads, N, N] fp32 logits
+    # (hiera-L @1024 stage-3: ~4 GB per global block at B=8)
+    is_global: bool = False
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] (windows stacked in B) or [B, N, C]
@@ -233,10 +240,13 @@ class MultiScaleAttention(nn.Module):
             oh, ow = q.shape[1], q.shape[2]
             q = q.reshape(b, oh * ow, self.num_heads, -1)
 
-        if self.window_attention_fn is not None and b > 1:
+        # a windowed block with b == 1 (window == whole grid) is
+        # mathematically global; keep routing it to the flash path
+        use_global = self.is_global or b == 1
+        if self.window_attention_fn is not None and not use_global:
             o = self.window_attention_fn(q, k, v)  # [B, Nq, heads, D]
             o = o.transpose(0, 2, 1, 3)
-        elif b > 1:
+        elif not use_global:
             # windowed: einsums on the [B, N, heads, D] layout — no
             # explicit q/k/v transposes; XLA folds layout into the dots
             # (same ops as modeling.layers.sdpa: fp32 logits + softmax)
@@ -290,6 +300,18 @@ class MultiScaleBlock(nn.Module):
     pre_windowed: bool = False
     use_fused_mlp: bool = False  # opt-in Pallas MLP tail (see _mlp_tail)
     quant: bool = False  # opt-in int8 trunk dense layers (ops/quant.py)
+    # stochastic-depth rate for BOTH residual branches (reference
+    # hieradet.py:122,165-167); non-zero only when Hiera sees a 'dropout'
+    # rng, so inference paths never call make_rng
+    drop_path_prob: float = 0.0
+
+    def _drop_path(self, y):
+        if self.drop_path_prob <= 0.0:
+            return y
+        return drop_path(
+            y, self.drop_path_prob, deterministic=False,
+            rng=self.make_rng("dropout"),
+        )
 
     def _mlp_tail(self, x):
         """x + mlp(ln2(x)). use_fused_mlp routes through the Pallas
@@ -313,7 +335,7 @@ class MultiScaleBlock(nn.Module):
                 quant=True,
                 name="mlp",
             )(y)
-            return x + y
+            return x + self._drop_path(y)
         if self.use_fused_mlp and self.gelu in (exact_gelu, approx_gelu):
             g, b = LayerNorm(eps=1e-6, name="norm2", return_params=True)(x)
             (w1, b1), (w2, b2) = MLP(
@@ -337,7 +359,7 @@ class MultiScaleBlock(nn.Module):
             dtype=self.dtype,
             name="mlp",
         )(y)
-        return x + y
+        return x + self._drop_path(y)
 
     @nn.compact
     def __call__(self, x):  # [B, H, W, C] (or windows when pre_windowed)
@@ -357,9 +379,10 @@ class MultiScaleBlock(nn.Module):
                 window_attention_fn=self.window_attention_fn,
                 dtype=self.dtype,
                 quant=self.quant,
+                is_global=False,
                 name="attn",
             )(x)
-            x = shortcut + x
+            x = shortcut + self._drop_path(x)
             return self._mlp_tail(x)
 
         shortcut = x
@@ -387,6 +410,7 @@ class MultiScaleBlock(nn.Module):
             window_attention_fn=self.window_attention_fn,
             dtype=self.dtype,
             quant=self.quant,
+            is_global=self.window_size == 0,
             name="attn",
         )(x)
 
@@ -400,7 +424,7 @@ class MultiScaleBlock(nn.Module):
         if self.window_size > 0:
             x = window_unpartition(x, ws, pad_hw, (h, w))
 
-        x = shortcut + x
+        x = shortcut + self._drop_path(x)
         return self._mlp_tail(x)
 
 
@@ -453,6 +477,15 @@ class Hiera(nn.Module):
         q_pool_blocks = set(c.q_pool_blocks)
         global_blocks = set(c.global_att_blocks or ())
 
+        # stochastic depth (reference hieradet.py:232: linspace over depth,
+        # applied to both residual branches). Active only when a 'dropout'
+        # rng is supplied (training) — inference stays deterministic.
+        dp_active = c.drop_path_rate > 0.0 and self.has_rng("dropout")
+        if c.depth > 1:
+            dpr = [c.drop_path_rate * i / (c.depth - 1) for i in range(c.depth)]
+        else:
+            dpr = [0.0]
+
         outputs: List[jnp.ndarray] = []
         embed_dim, num_heads, cur_stage = c.embed_dim, c.num_heads, 1
         # resident-window bookkeeping: keep x partitioned across runs of
@@ -485,6 +518,10 @@ class Hiera(nn.Module):
                 # stage 3: 48 % 14 != 0 pads 48->56, +36% tokens)
                 and cur_h % window_size == 0
                 and cur_w % window_size == 0
+                # stochastic depth masks per SAMPLE; the flattened-window
+                # layout puts B*nW in the batch axis, so disable resident
+                # mode while drop-path is live (training only)
+                and not dp_active
             )
             if simple:
                 if not in_win:
@@ -511,6 +548,7 @@ class Hiera(nn.Module):
                 pre_windowed=simple,
                 use_fused_mlp=c.use_fused_mlp,
                 quant=c.quantize_int8,
+                drop_path_prob=dpr[i] if dp_active else 0.0,
                 name=f"blocks_{i}",
             )(x)
             embed_dim = dim_out

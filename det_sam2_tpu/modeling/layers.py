@@ -165,6 +165,14 @@ def sdpa(
     if bias is not None:
         logits = logits + bias
     probs = jax.nn.softmax(logits, axis=-1)
+    if bias is not None:
+        # fully-masked query rows (every key biased to <= -1e29, e.g. an
+        # object slot with zero valid memories) must produce P = 0, not a
+        # uniform softmax over garbage — this matches the Pallas flash
+        # kernel's masked-tile skip, so CPU and TPU agree and the caller's
+        # dead-row v_proj-bias correction (transformer.py) stays exact
+        dead = jnp.max(bias, axis=-1, keepdims=True) <= -1e29
+        probs = jnp.where(dead, 0.0, probs)
     return jnp.einsum(
         "...qk,...kd->...qd", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

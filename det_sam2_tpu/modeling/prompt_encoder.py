@@ -31,9 +31,7 @@ class PromptEncoder(nn.Module):
     def setup(self):
         self.pe_gaussian = self.param(
             "pe_gaussian",
-            lambda key, shape: jnp.asarray(
-                nn.initializers.normal(stddev=1.0)(key, shape)
-            ),
+            nn.initializers.normal(stddev=1.0),
             (2, self.embed_dim // 2),
         )
         # rows: [not_a_point, neg(0), pos(1), box_tl(2), box_br(3)]

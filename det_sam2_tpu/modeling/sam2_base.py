@@ -115,6 +115,11 @@ class SAM2Model(nn.Module):
                     hidden_dim=c.hidden_dim, output_dim=c.hidden_dim, num_layers=1,
                     dtype=self.dtype, name="obj_ptr_proj",
                 )
+        else:
+            # reference always defines the projection (nn.Identity when
+            # pointers are unused, sam2_base.py:240-248) — forward_sam_heads
+            # calls it unconditionally
+            self.obj_ptr_proj = lambda x: x
         if c.proj_tpos_enc_in_obj_ptrs:
             self.obj_ptr_tpos_proj = nn.Dense(
                 c.mem_dim, dtype=self.dtype, name="obj_ptr_tpos_proj"
@@ -134,7 +139,8 @@ class SAM2Model(nn.Module):
             s0 = self.sam_mask_decoder.conv_s0(fpn[0])
             s1 = self.sam_mask_decoder.conv_s1(fpn[1])
             return s0, s1, fpn[2]
-        return fpn[-1]
+        # uniform arity so callers can always unpack (s0, s1, feat)
+        return None, None, fpn[-1]
 
     # ------------------------------------------------------------------
     # SAM heads
@@ -151,6 +157,8 @@ class SAM2Model(nn.Module):
         gate_no_obj: bool = True,  # False = the image-predictor path, which
         # calls the decoder directly and never fills NO_OBJ_SCORE
         # (sam2_image_predictor.py:420)
+        training: bool = False,  # disables the decoder's dynamic-stability
+        # multimask swap (reference gates it with `not self.training`)
     ):
         """Equivalent of sam2_base.py:_forward_sam_heads (:254-399).
 
@@ -187,6 +195,7 @@ class SAM2Model(nn.Module):
                 dense,
                 multimask_output,
                 high_res_features,
+                training=training,
             )
         )
         low_res_multimasks = low_res_multimasks.astype(jnp.float32)
@@ -227,7 +236,11 @@ class SAM2Model(nn.Module):
                 lam = (object_score_logits > 0).astype(obj_ptr.dtype)
             if c.fixed_no_obj_ptr:
                 obj_ptr = lam * obj_ptr
-            obj_ptr = obj_ptr + (1.0 - lam) * self.no_obj_ptr
+            if c.use_obj_ptrs_in_encoder:
+                # no_obj_ptr only exists alongside encoder pointers
+                # (reference defines it under the same pair of flags,
+                # sam2_base.py:170-172)
+                obj_ptr = obj_ptr + (1.0 - lam) * self.no_obj_ptr
 
         return (
             low_res_multimasks,
@@ -274,7 +287,8 @@ class SAM2Model(nn.Module):
         if c.pred_obj_scores:
             if c.fixed_no_obj_ptr:
                 obj_ptr = lam * obj_ptr
-            obj_ptr = obj_ptr + (1.0 - lam) * self.no_obj_ptr
+            if c.use_obj_ptrs_in_encoder:
+                obj_ptr = obj_ptr + (1.0 - lam) * self.no_obj_ptr
         return (
             low_res_masks,
             high_res_masks,

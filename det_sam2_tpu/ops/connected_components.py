@@ -131,14 +131,20 @@ def fill_holes_and_sprinkles_np(
     masks: np.ndarray, threshold: float, max_hole_area: float,
     max_sprinkle_area: float,
 ) -> np.ndarray:
-    """Host equivalent of SAM2Transforms.postprocess_masks cleanup."""
-    out = masks.astype(np.float32)
+    """Host equivalent of SAM2Transforms.postprocess_masks cleanup.
+
+    Both connected-component passes are computed from the ORIGINAL mask
+    (the reference's mask_flat is built once, transforms.py:~95 — the
+    sprinkle pass does NOT see the hole-filled values), while the +-10
+    writes apply sequentially."""
+    orig = masks.astype(np.float32)
+    out = orig
     if max_hole_area > 0:
-        labels, areas = get_connected_components_np(out <= threshold)
+        labels, areas = get_connected_components_np(orig <= threshold)
         is_hole = (labels > 0) & (areas <= max_hole_area)
         out = np.where(is_hole, threshold + 10.0, out)
     if max_sprinkle_area > 0:
-        labels, areas = get_connected_components_np(out > threshold)
+        labels, areas = get_connected_components_np(orig > threshold)
         is_spr = (labels > 0) & (areas <= max_sprinkle_area)
         out = np.where(is_spr, threshold - 10.0, out)
     return out
@@ -276,9 +282,11 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
         # step). Factor label = r * w + c and express the histogram as a
         # one-hot matmul: areas2d[r, c] = sum_p U[p, r] * V[p, c] with
         # U = onehot(label // w) (fg-masked), V = onehot(label % w).
-        # bf16 one-hots are exact {0,1}; fp32 accumulation is exact for
-        # counts < 2^24 — so this is the same integer histogram, computed
-        # on the MXU.
+        # int8 one-hots ride the int8 MXU path with exact int32
+        # accumulation (counts <= h*w << 2^31) — same integer histogram,
+        # half the operand bytes of bf16. Both histograms (area and
+        # contains-a-changed-pixel) share U via a width-2w V — ONE dot,
+        # one pass over the pixel axis.
         r_hot = (
             (lab_row // w)[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
@@ -286,17 +294,17 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
         c_hot = (
             (lab_row % w)[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        ).astype(jnp.bfloat16)
-
-        def hist(row_mask):
-            u = (r_hot & row_mask[:, None]).astype(jnp.bfloat16)
-            return jax.lax.dot_general(
-                u, c_hot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).reshape(h * w)
-
-        seg_area = hist(fg_row)
-        seg_changed = hist(fg_row & ch_row)
+        )
+        u = (r_hot & fg_row[:, None]).astype(jnp.int8)
+        v = jnp.concatenate(
+            [c_hot, c_hot & ch_row[:, None]], axis=1
+        ).astype(jnp.int8)
+        both = jax.lax.dot_general(
+            u, v, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        seg_area = both[:, :w].reshape(h * w)
+        seg_changed = both[:, w:].reshape(h * w)
         small = (seg_area > 0) & (seg_area <= max_area) & (seg_changed == 0)
         return small[lab_row]
 

@@ -409,6 +409,7 @@ def forward_training(
             mask_inputs=mask_input,
             high_res_features=[f0, f1],
             multimask_output=multimask,
+            training=True,
         )
         multistep_hr.append(multimasks_hr)
         multistep_ious.append(ious)
@@ -443,6 +444,7 @@ def forward_training(
                     mask_inputs=low_res[:, 0, :, :, None],
                     high_res_features=[f0, f1],
                     multimask_output=multimask,
+                    training=True,
                 )
                 multistep_hr.append(multimasks_hr)
                 multistep_ious.append(ious)

@@ -257,6 +257,9 @@ def make_train_step(
             images,
             gt_masks,
             rng,
+            # 'dropout' activates trunk stochastic depth when
+            # hiera.drop_path_rate > 0 (reference dpr schedule)
+            rngs={"dropout": jax.random.fold_in(rng, 0x5EED)},
             method=lambda m, c, i, g, r: forward_training(
                 m, c, i, g, rng=r,
                 schedule=schedule,

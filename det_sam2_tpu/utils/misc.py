@@ -62,6 +62,21 @@ def normalize_frame(frame_rgb: np.ndarray, image_size: int) -> np.ndarray:
     return ((img - IMG_MEAN) / IMG_STD).astype(np.float32)
 
 
+def list_frame_dir(video_path: str) -> List[str]:
+    """List a JPEG/PNG frame directory in frame-number order (the single
+    convention shared by the eager and async loaders — int-named stems,
+    reference misc.py load_video_frames_from_jpg_images)."""
+    names = [
+        p
+        for p in os.listdir(video_path)
+        if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
+    ]
+    names.sort(key=lambda p: int(os.path.splitext(p)[0]))
+    if not names:
+        raise RuntimeError(f"no frames found in {video_path}")
+    return [os.path.join(video_path, n) for n in names]
+
+
 def load_video_frames(
     video_path: Union[str, List, np.ndarray],
     image_size: int,
@@ -91,15 +106,7 @@ def load_video_frames(
     if isinstance(video_path, list):
         img_paths = list(video_path)
     elif isinstance(video_path, str) and os.path.isdir(video_path):
-        names = [
-            p
-            for p in os.listdir(video_path)
-            if os.path.splitext(p)[-1].lower() in (".jpg", ".jpeg", ".png")
-        ]
-        names.sort(key=lambda p: int(os.path.splitext(p)[0]))
-        if not names:
-            raise RuntimeError(f"no frames found in {video_path}")
-        img_paths = [os.path.join(video_path, n) for n in names]
+        img_paths = list_frame_dir(video_path)
     elif isinstance(video_path, str) and os.path.isfile(video_path):
         ext = os.path.splitext(video_path)[-1].lower()
         if ext in (".mp4", ".avi", ".mov", ".mkv") and cv2 is not None:

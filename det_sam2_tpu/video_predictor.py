@@ -40,6 +40,7 @@ from det_sam2_tpu.track import SAM2Engine
 from det_sam2_tpu.utils.misc import (
     AsyncFrameLoader,
     concat_points,
+    list_frame_dir,
     load_video_frames,
     resize_masks_np,
 )
@@ -121,12 +122,16 @@ class InferenceSession:
             collections.defaultdict(dict)
         )
         self.frames_already_tracked: Dict[int, dict] = {}
-        # released tracked frames, compacted to merged (start, end, reverse)
-        # intervals: the reference keeps frames_tracked forever (a
+        # released tracked frames, compacted to merged (start, end, reverse,
+        # seq) intervals: the reference keeps frames_tracked forever (a
         # correction on an old frame must NOT be treated as an init cond
         # frame), but a per-frame dict grows without bound on endless
-        # streams — ranges keep the semantics at O(1) memory
-        self.tracked_ranges: List[Tuple[int, int, bool]] = []
+        # streams — ranges keep the semantics at O(1) memory. `seq` is a
+        # monotonic compaction stamp: a frame re-tracked in the OPPOSITE
+        # direction and re-released creates an overlapping range whose
+        # newer stamp must win in tracked_info.
+        self.tracked_ranges: List[Tuple[int, int, bool, int]] = []
+        self._compact_seq = 0
         # prompted non-cond frames whose outputs are reused in propagation
         # (the reference's consolidated_frame_inds["non_cond_frame_outputs"])
         self.consolidated_noncond: set = set()
@@ -144,28 +149,30 @@ class InferenceSession:
         row = self.frames_already_tracked.get(frame_idx)
         if row is not None:
             return row
-        for s, e, rev in self.tracked_ranges:
-            if s <= frame_idx <= e:
-                return {"reverse": rev}
-        return None
+        best = None
+        for s, e, rev, seq in self.tracked_ranges:
+            if s <= frame_idx <= e and (best is None or seq > best[1]):
+                best = (rev, seq)
+        return None if best is None else {"reverse": best[0]}
 
     def compact_tracked(self, upto_idx: int) -> None:
         """Move frames_already_tracked entries with idx <= upto_idx into
         merged tracked_ranges (called by release_old_frames)."""
         moved = [t for t in self.frames_already_tracked if t <= upto_idx]
-        for t in moved:
-            rev = bool(self.frames_already_tracked.pop(t)["reverse"])
-            self.tracked_ranges.append((t, t, rev))
         if not moved:
             return
-        self.tracked_ranges.sort()
-        merged: List[Tuple[int, int, bool]] = []
-        for s, e, rev in self.tracked_ranges:
+        self._compact_seq += 1
+        for t in moved:
+            rev = bool(self.frames_already_tracked.pop(t)["reverse"])
+            self.tracked_ranges.append((t, t, rev, self._compact_seq))
+        self.tracked_ranges.sort(key=lambda r: r[:2])
+        merged: List[Tuple[int, int, bool, int]] = []
+        for s, e, rev, seq in self.tracked_ranges:
             if merged and merged[-1][2] == rev and s <= merged[-1][1] + 1:
-                ps, pe, prev = merged[-1]
-                merged[-1] = (ps, max(pe, e), prev)
+                ps, pe, prev, pseq = merged[-1]
+                merged[-1] = (ps, max(pe, e), prev, max(pseq, seq))
             else:
-                merged.append((s, e, rev))
+                merged.append((s, e, rev, seq))
         self.tracked_ranges = merged
 
     @property
@@ -216,15 +223,7 @@ class SAM2VideoPredictor:
         if async_loading_frames:
             paths = None
             if isinstance(video_path, str) and os.path.isdir(video_path):
-                names = sorted(
-                    (
-                        n for n in os.listdir(video_path)
-                        if os.path.splitext(n)[-1].lower()
-                        in (".jpg", ".jpeg", ".png")
-                    ),
-                    key=lambda p: int(os.path.splitext(p)[0]),
-                )
-                paths = [os.path.join(video_path, n) for n in names]
+                paths = list_frame_dir(video_path)
             elif isinstance(video_path, list) and video_path and isinstance(
                 video_path[0], str
             ):
@@ -973,7 +972,16 @@ class SAM2VideoPredictor:
 
     def save_session(self, session: InferenceSession, path: str) -> None:
         """Serialize the full session (the fork pickles `inference_state`,
-        det_sam2_RT.py:489-503)."""
+        det_sam2_RT.py:489-503).
+
+        Prompts added since the last propagation live only in the temp
+        stores (and would otherwise be silently dropped): consolidate them
+        into the bank/outputs first — exactly what the next
+        propagate_in_video would do."""
+        if any(per_frame
+               for store in (session.temp_cond, session.temp_noncond)
+               for per_frame in store.values()):
+            self.propagate_in_video_preflight(session)
         payload = {
             "cfg_image_size": self.image_size,
             "video_height": session.video_height,
@@ -1027,7 +1035,14 @@ class SAM2VideoPredictor:
         session.cond_outputs = payload["cond_outputs"]
         session.noncond_outputs = payload["noncond_outputs"]
         session.frames_already_tracked = payload["frames_already_tracked"]
-        session.tracked_ranges = payload.get("tracked_ranges", [])
+        # migrate pre-seq 3-tuple payloads to (s, e, rev, seq)
+        session.tracked_ranges = [
+            tuple(r) if len(r) == 4 else (*r, 0)
+            for r in payload.get("tracked_ranges", [])
+        ]
+        session._compact_seq = max(
+            (r[3] for r in session.tracked_ranges), default=0
+        )
         if keep_images:
             session.frames = payload["frames"]
         session.pre_frames = session.num_frames
@@ -1078,11 +1093,54 @@ class SAM2VideoPredictor:
             or frame_idx in session.mask_inputs_per_obj[i]
             for i in session.obj_idx_to_id
         )
-        if not still_prompted and frame_idx in session.cond_outputs:
-            out = session.cond_outputs.pop(frame_idx)
-            session.noncond_outputs[frame_idx] = out
-            if session.bank is not None:
-                session.bank = bank_ops.demote_cond_frame(
-                    session.bank, jnp.int32(frame_idx)
-                )
-                self._refresh_cond_bucket(session)
+        if not still_prompted:
+            # reference :1090-1094: the frame leaves the consolidated set
+            # (so propagation re-infers it instead of reusing the cleared
+            # correction forever)
+            session.consolidated_noncond.discard(frame_idx)
+            if frame_idx in session.cond_outputs:
+                out = session.cond_outputs.pop(frame_idx)
+                session.noncond_outputs[frame_idx] = out
+                # demoted cond frames are no longer "tracked": a fresh
+                # prompt on them must be treated as an init cond frame
+                # (reference pops frames_already_tracked on demotion)
+                session.frames_already_tracked.pop(frame_idx, None)
+                if session.bank is not None:
+                    session.bank = bank_ops.demote_cond_frame(
+                        session.bank, jnp.int32(frame_idx)
+                    )
+                    self._refresh_cond_bucket(session)
+            if not session.cond_outputs:
+                # no conditioning frames remain anywhere: the reference
+                # resets ALL tracking results (keeping registered objects)
+                self._reset_tracking_results(session)
+
+    def _reset_tracking_results(self, session: InferenceSession) -> None:
+        """Reference _reset_tracking_results: clear every tracking input
+        and output but KEEP the registered objects."""
+        for v in session.point_inputs_per_obj.values():
+            v.clear()
+        for v in session.mask_inputs_per_obj.values():
+            v.clear()
+        for v in session.temp_cond.values():
+            v.clear()
+        for v in session.temp_noncond.values():
+            v.clear()
+        session.cond_outputs.clear()
+        session.noncond_outputs.clear()
+        session.consolidated_noncond.clear()
+        session.frames_already_tracked.clear()
+        session.tracked_ranges.clear()
+        session.tracking_has_started = False
+        session._empty_ptr.clear()
+        # drop all bank memories: objects stay registered, so keep the
+        # allocation sized for them (a fresh prompt goes straight in);
+        # preload state lives in the bank, so it goes too
+        if session.bank is not None:
+            session.bank = bank_ops.init_bank(
+                self.cfg, session.bank_objs, dtype=self.engine.dtype
+            )
+            self._refresh_cond_bucket(session)
+        session.pre_frames = 0
+        session.preload_cond_indices = []
+        session._feat_cache = None

@@ -158,8 +158,9 @@ def generators(request):
     # postprocess_masks catches the error and warns); neutralize ours too
     # for an apples-to-apples comparison. The fill semantics themselves are
     # covered by test_image_predictor_amg.py::test_low_res_hole_filling.
-    my_gen.predictor.max_hole_area = 0.0
-    my_gen.predictor.max_sprinkle_area = 0.0
+    # the mounted reference's CUDA CC ext is unavailable so ITS per-predict
+    # fill silently no-ops; disable ours (generate() applies it scoped now)
+    my_gen.predictor_fill_area = 0.0
     return ref_gen, my_gen
 
 

@@ -31,7 +31,7 @@ def test_tracked_compaction_preserves_classification():
     # live dict holds only the retained tail
     assert sorted(s.frames_already_tracked) == [12, 13]
     # two direction-homogeneous ranges
-    assert s.tracked_ranges == [(0, 9, False), (10, 11, True)]
+    assert [r[:3] for r in s.tracked_ranges] == [(0, 9, False), (10, 11, True)]
     # classification (incl. the reverse flag) survives the release
     assert s.tracked_info(3) == {"reverse": False}
     assert s.tracked_info(11) == {"reverse": True}
@@ -40,7 +40,7 @@ def test_tracked_compaction_preserves_classification():
     # compacting again merges instead of duplicating
     s.frames_already_tracked[14] = {"reverse": True}
     s.compact_tracked(14)
-    assert s.tracked_ranges == [(0, 9, False), (10, 14, True)]
+    assert [r[:3] for r in s.tracked_ranges] == [(0, 9, False), (10, 14, True)]
 
 
 def test_demote_carries_obj_valid():
