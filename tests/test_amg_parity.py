@@ -155,11 +155,10 @@ def generators(request):
     my_gen = SAM2AutomaticMaskGenerator(SAM2ImagePredictor(engine), **kw)
     # the mounted reference's connected-components CUDA ext is unavailable,
     # so ITS predictor-level hole/sprinkle fill silently no-ops (its
-    # postprocess_masks catches the error and warns); neutralize ours too
-    # for an apples-to-apples comparison. The fill semantics themselves are
-    # covered by test_image_predictor_amg.py::test_low_res_hole_filling.
-    # the mounted reference's CUDA CC ext is unavailable so ITS per-predict
-    # fill silently no-ops; disable ours (generate() applies it scoped now)
+    # postprocess_masks catches the error and warns); disable ours for an
+    # apples-to-apples comparison (generate() applies it scoped now). The
+    # fill semantics themselves are covered by
+    # test_image_predictor_amg.py::test_low_res_hole_filling.
     my_gen.predictor_fill_area = 0.0
     return ref_gen, my_gen
 
