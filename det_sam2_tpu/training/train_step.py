@@ -15,6 +15,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -227,10 +228,16 @@ def make_train_step(
     prompt_kind: str = "box",
     num_correction_steps: int = 0,
     schedule: Optional[PromptSchedule] = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = 1 << 14,
 ) -> Callable:
     """Returns train_step(params, opt_state, images [T,B,H,W,3],
     gt_masks [T,B,H,W], rng) -> (params, opt_state, metrics). When a mesh
     is given, the batch axis (axis 1) is data-parallel.
+
+    With fsdp=True (mesh required) the return value is a FACTORY:
+    call it as make(params, opt_state) -> step; params/opt-state leaves
+    are sharded over 'data' (ZeRO-3 style) instead of replicated.
 
     Training runs the same attention path as inference: the Pallas flash
     kernel has a custom VJP (ops/attention.py flash backward), so large
@@ -289,9 +296,50 @@ def make_train_step(
 
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(None, "data"))
-    return jax.jit(
-        step,
-        in_shardings=(repl, repl, batch_sh, batch_sh, repl),
-        out_shardings=(repl, repl, repl),
-        donate_argnums=(0, 1),
-    )
+    if not fsdp:
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, batch_sh, batch_sh, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+
+    # FSDP-lite (ZeRO-3 style; goes beyond the reference's DDP-only
+    # trainer): every params/opt-state leaf is sharded over the 'data'
+    # axis on its largest divisible dim; GSPMD inserts the all-gathers
+    # before use and reduce-scatters after the backward. Per-device
+    # params + adam moments drop ~Nx, enabling models that don't fit
+    # replicated.
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+
+    def leaf_sharding(leaf) -> NamedSharding:
+        shape = getattr(leaf, "shape", ())
+        if not shape or int(np.prod(shape)) < fsdp_min_size:
+            return repl
+        dims = [d for d in range(len(shape)) if shape[d] % n_dev == 0]
+        if not dims:
+            return repl
+        best = max(dims, key=lambda d: shape[d])
+        spec = [None] * len(shape)
+        spec[best] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    def tree_shardings(tree):
+        return jax.tree_util.tree_map(leaf_sharding, tree)
+
+    def make(params, opt_state):
+        """Bind shardings to the concrete params/opt-state trees (opt
+        state mixes params-shaped moments with scalar counts, so shardings
+        are derived per leaf, not assumed)."""
+        p_sh = tree_shardings(params)
+        o_sh = tree_shardings(opt_state)
+        return jax.jit(
+            step,
+            in_shardings=(p_sh, o_sh, batch_sh, batch_sh, repl),
+            out_shardings=(p_sh, o_sh, repl),
+            donate_argnums=(0, 1),
+        )
+
+    make.leaf_sharding = leaf_sharding  # device_put helpers for callers
+    make.tree_shardings = tree_shardings
+    return make
