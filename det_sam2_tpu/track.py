@@ -123,6 +123,31 @@ def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
     return img.astype(jnp.float32)
 
 
+def _fill_stacked(cfg: SAM2Config, low: jnp.ndarray) -> jnp.ndarray:
+    """Batched fill-holes over stacked window outputs [T, O, 1, s4, s4],
+    in chunks of frames (skip-frame rows are all-zero planes: one
+    >max_area background component, provably untouched). fp32 for the
+    <=0 threshold test, matching the per-frame path up to fp16 rounding
+    of the raw logits. The chunk size bounds the one-hot histogram
+    working set (~100 MB per s4=256 mask) while amortizing the
+    propagation rounds over chunk*O masks."""
+    if cfg.fill_hole_area <= 0:
+        return low
+    o = low.shape[1]
+    chunk = max(1, 8 // max(o, 1))
+    tt = low.shape[0]
+    pad_t = (-tt) % chunk
+    lowp = jnp.pad(low, ((0, pad_t),) + ((0, 0),) * (low.ndim - 1))
+    lowp = lowp.reshape((tt + pad_t) // chunk, chunk * o, *low.shape[2:])
+    lowp = jax.lax.map(
+        lambda m: _maybe_fill_holes(cfg, m.astype(jnp.float32)).astype(
+            jnp.float16
+        ),
+        lowp,
+    )
+    return lowp.reshape(tt + pad_t, o, *low.shape[2:])[:tt]
+
+
 def _broadcast_feats(feats, o: int):
     return tuple(
         jnp.broadcast_to(f, (o,) + f.shape[1:]) if f.shape[0] == 1 else f
@@ -652,30 +677,7 @@ class SAM2Engine:
             new_bank, (low, ptr, logits) = jax.lax.scan(
                 step, bank, (frame_indices, skips, img_idx)
             )
-            if cfg.fill_hole_area > 0:
-                # batched fill over the stacked outputs, in chunks of
-                # frames (skip-frame rows are all-zero planes: one
-                # >max_area background component, provably untouched).
-                # fp32 for the <=0 threshold test, matching the per-frame
-                # path up to fp16 rounding of the raw logits. The chunk
-                # size bounds the one-hot histogram working set (~100 MB
-                # per s4=256 mask) while amortizing the propagation rounds
-                # over chunk*O masks.
-                o = low.shape[1]
-                chunk = max(1, 8 // max(o, 1))
-                tt = low.shape[0]
-                pad_t = (-tt) % chunk
-                lowp = jnp.pad(low, ((0, pad_t),) + ((0, 0),) * (low.ndim - 1))
-                lowp = lowp.reshape(
-                    (tt + pad_t) // chunk, chunk * o, *low.shape[2:]
-                )
-                lowp = jax.lax.map(
-                    lambda m: _maybe_fill_holes(
-                        cfg, m.astype(jnp.float32)
-                    ).astype(jnp.float16),
-                    lowp,
-                )
-                low = lowp.reshape(tt + pad_t, o, *low.shape[2:])[:tt]
+            low = _fill_stacked(cfg, low)
             return new_bank, (low, ptr, logits)
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
@@ -713,6 +715,174 @@ class SAM2Engine:
         if obj_valid is None:
             obj_valid = np.ones((bank.num_objects,), bool)
         return self._propagate_window_fn(t, images.shape[0], bool(reverse))(
+            {"params": self.params},
+            jnp.asarray(images),
+            bank,
+            np.asarray(frame_indices, np.int32),
+            np.asarray(skips, bool),
+            np.asarray(img_idx, np.int32),
+            np.int32(num_frames),
+            np.asarray(obj_valid),
+        )
+
+    @functools.lru_cache(maxsize=64)
+    def _batched_window_fn(self, t: int, n_images: int, reverse: bool,
+                           counts: tuple):
+        """Lockstep multi-video propagation window: B independent video
+        streams tracked in ONE scan over a shared frame clock.
+
+        TPU-native batching design: video v's objects occupy a contiguous
+        row group of a single merged MemoryBank (O_total = sum(counts)
+        rows) — the per-(slot,object) validity machinery that already
+        reproduces the reference's per-object dicts (added objects with
+        later cond frames, sam2_video_predictor.py:1437-1535) makes the
+        merged bank exact per video. Each scan step encodes B frames as
+        one batched trunk call (MXU batching) and repeats each video's
+        features over its object rows; memory read/SAM heads/memory
+        write are per-object and untouched. One dispatch and one
+        download serve B streams — on a high-dispatch-latency setup the
+        per-stream overhead drops ~B-fold.
+
+        Per-video skip frames (prompted/consolidated) cannot use lax.cond
+        (the predicate is per-lane); instead the step always runs and a
+        skipped video's rows are excluded from the bank write
+        (obj_valid &) and zeroed in the outputs — the all-rows-invalid
+        noncond slot this leaves behind is read back exactly like the
+        reference's missing non_cond_frame_outputs entry (select_memory
+        picks by frame distance, invalid rows are masked). Steps where
+        EVERY video skips take the real lax.cond skip: no encode, no
+        write, no image upload."""
+        cfg, model = self.cfg, self.model
+        s4 = cfg.image_size // 4
+        b = len(counts)
+        o_total = int(sum(counts))
+        counts_arr = np.asarray(counts, np.int32)
+        video_of_obj = np.repeat(np.arange(b, dtype=np.int32), counts_arr)
+
+        def body(m: SAM2Model, images, bank: MemoryBank, frame_indices,
+                 skips, img_idx, num_frames, obj_valid):
+            v_of_o = jnp.asarray(video_of_obj)
+
+            def rep(f):
+                return jnp.repeat(
+                    f, jnp.asarray(counts_arr), axis=0,
+                    total_repeat_length=o_total,
+                )
+
+            def run_step(bank, i_img, frame_idx, skip_b):
+                imgs = jax.lax.dynamic_index_in_dim(
+                    images, i_img, axis=0, keepdims=False
+                )  # [B, H, W, 3]
+                feats = m.forward_image(normalize_image(imgs))
+                s0, s1, feat = (rep(f) for f in feats)
+                pix = _conditioned_features(
+                    m, cfg, feat, bank, frame_idx, num_frames, reverse,
+                    is_init=False,
+                )
+                multimask = use_multimask(cfg, is_init=False, num_pts=0)
+                (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                    m.forward_sam_heads(
+                        pix, high_res_features=[s0, s1],
+                        multimask_output=multimask,
+                    )
+                )
+                # non-overlap suppression couples objects ACROSS the batch
+                # axis; propagate_window_batched rejects the flag upfront
+                # (cfg.non_overlap_masks_for_mem_enc is False in every
+                # reference config) rather than mixing videos here.
+                maskmem = m.encode_memory(
+                    feat, high_res, obj_logits,
+                    binarize=False, apply_non_overlap=False,
+                )
+                skip_o = skip_b[v_of_o]  # [O_total]
+                new_bank = write_noncond(
+                    bank, frame_idx,
+                    maskmem.reshape(o_total, -1, cfg.mem_dim), obj_ptr,
+                    obj_valid=obj_valid & ~skip_o,
+                )
+                # skipped videos emit zeros (the single-video skip_step
+                # contract: callers reuse their stored prompted outputs)
+                low = jnp.where(
+                    skip_o[:, None, None, None], jnp.float16(0),
+                    low_res.astype(jnp.float16),
+                )
+                ptr = jnp.where(skip_o[:, None], 0.0,
+                                obj_ptr.astype(jnp.float32))
+                logit = jnp.where(skip_o[:, None], 0.0,
+                                  obj_logits.astype(jnp.float32))
+                return new_bank, (low, ptr, logit)
+
+            def skip_step(bank, i_img, frame_idx, skip_b):
+                return bank, (
+                    jnp.zeros((o_total, 1, s4, s4), jnp.float16),
+                    jnp.zeros((o_total, cfg.hidden_dim), jnp.float32),
+                    jnp.zeros((o_total, 1), jnp.float32),
+                )
+
+            def step(bank, xs):
+                frame_idx, skip_b, i_img = xs
+                return jax.lax.cond(
+                    jnp.all(skip_b), skip_step, run_step,
+                    bank, i_img, frame_idx, skip_b,
+                )
+
+            new_bank, (low, ptr, logits) = jax.lax.scan(
+                step, bank, (frame_indices, skips, img_idx)
+            )
+            low = _fill_stacked(cfg, low)
+            return new_bank, (low, ptr, logits)
+
+        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+
+    def propagate_window_batched(self, images, bank, frame_indices, skips,
+                                 num_frames, counts, reverse=False,
+                                 obj_valid=None, img_idx=None):
+        """Track B videos in lockstep through one window.
+
+        images: [N, B, H, W, 3] uint8 — the steps to RUN (N <= T; steps
+        where every video skips upload nothing); frame_indices [T] shared
+        frame clock; skips [T, B] bool per (step, video); counts: static
+        tuple of per-video object counts (bank.num_objects ==
+        sum(counts), video v owns rows sum(counts[:v]) ..+counts[v]);
+        img_idx [T] maps steps to rows of `images`. Returns (new_bank,
+        (pred_masks [T, O_total, 1, s4, s4] fp16, obj_ptr, logits)) —
+        split the object axis by `counts` to recover per-video outputs.
+        """
+        counts = tuple(int(c) for c in counts)
+        if bank.num_objects != sum(counts):
+            raise ValueError(
+                f"bank has {bank.num_objects} object rows, counts "
+                f"{counts} sum to {sum(counts)}"
+            )
+        if self.cfg.non_overlap_masks_for_mem_enc and len(counts) > 1:
+            raise NotImplementedError(
+                "non_overlap_masks_for_mem_enc couples objects across "
+                "videos; batched windows require it off (it is off in "
+                "every reference config)"
+            )
+        t = len(frame_indices)
+        if img_idx is None:
+            img_idx = np.arange(t, dtype=np.int32)
+        if isinstance(images, jax.Array):
+            n = images.shape[0]
+            n_bucket = min(max(8, next_pow2(n)), t) if t else 0
+            if n < n_bucket:
+                images = jnp.concatenate([
+                    images,
+                    jnp.zeros((n_bucket - n, *images.shape[1:]), images.dtype),
+                ])
+        else:
+            images = np.asarray(images)
+            n = images.shape[0]
+            n_bucket = min(max(8, next_pow2(n)), t) if t else 0
+            if n < n_bucket:
+                pad = np.zeros((n_bucket - n, *images.shape[1:]), images.dtype)
+                images = np.concatenate([images, pad])
+        if obj_valid is None:
+            obj_valid = np.ones((bank.num_objects,), bool)
+        return self._batched_window_fn(
+            t, images.shape[0], bool(reverse), counts
+        )(
             {"params": self.params},
             jnp.asarray(images),
             bank,
