@@ -116,6 +116,14 @@ class BatchedVideoStreamer:
         single-session behavior; the cond-bank write is one merged
         ``encode_cond_memory`` with only the prompted videos' rows valid.
         """
+        if not prompts:
+            # An empty call would still burn a cond slot (all rows invalid)
+            # that select_memory's frame-level top-k can pick over a REAL
+            # cond frame when tiles are tight — refuse it outright.
+            raise ValueError(
+                "add_prompts called with an empty prompts dict; prompt at "
+                "least one video or skip the call"
+            )
         bad = set(prompts) - set(range(self.num_videos))
         if bad:
             raise ValueError(f"unknown video ids {sorted(bad)}")
@@ -125,6 +133,22 @@ class BatchedVideoStreamer:
                     f"video {v}: {pts.shape[0]} prompt rows for "
                     f"{self.counts[v]} objects"
                 )
+        # The cond attend-tile set is selected globally by frame distance
+        # with at most min(cond_attn_size, cond_bank_size) tiles; if the
+        # union of live prompt frames exceeds that (or the bank capacity,
+        # where _choose_write_slot evicts the temporally furthest slot), a
+        # video's only cond frame silently falls out of the attended/stored
+        # set and it loses all conditioning. Fail loudly instead.
+        cap = min(self.cfg.cond_attn_size, self.cfg.cond_bank_size)
+        union = set().union(*self.prompt_frames) | {int(frame_idx)}
+        if len(union) > cap:
+            raise ValueError(
+                f"{len(union)} distinct prompt frames across videos exceed "
+                f"the {cap} cond tiles this bank can attend/store "
+                f"(min(cond_attn_size={self.cfg.cond_attn_size}, "
+                f"cond_bank_size={self.cfg.cond_bank_size})); split the "
+                f"videos across sessions"
+            )
         if feats is None:
             feats = self.encode_frames(frames)
 
@@ -150,6 +174,28 @@ class BatchedVideoStreamer:
             outs[v] = out
             self.prompt_frames[v].add(int(frame_idx))
 
+        # Sequential add_prompts calls at the SAME frame for different video
+        # subsets must not clobber each other: write_cond slot-matches the
+        # existing cond slot and replaces mem/ptr/obj_valid wholesale, so
+        # snapshot the rows of videos already prompted at this frame (but
+        # not re-prompted now) and restore them after the merged write.
+        keep_rows = np.zeros((self.num_objects,), bool)
+        for v in range(self.num_videos):
+            if v not in prompts and int(frame_idx) in self.prompt_frames[v]:
+                keep_rows[self._rows(v)] = True
+        old_slot = None
+        if keep_rows.any():
+            hits = np.where(
+                np.asarray(self.bank.cond_frame_idx) == int(frame_idx)
+            )[0]
+            if hits.size:  # guaranteed by the cap check above
+                s = int(hits[0])
+                old_slot = (
+                    self.bank.cond_mem[s],
+                    self.bank.cond_ptr[s],
+                    self.bank.cond_obj_valid[s],
+                )
+
         counts_arr = jnp.asarray(np.asarray(self.counts, np.int32))
         feat_rows = tuple(
             jnp.repeat(f, counts_arr, axis=0,
@@ -161,6 +207,21 @@ class BatchedVideoStreamer:
             feat_rows, self.bank, frame_idx, low, logits, ptr,
             is_mask_from_pts=True, obj_valid=valid,
         )
+        if old_slot is not None:
+            old_mem, old_ptr, old_valid = old_slot
+            sel = jnp.asarray(keep_rows)
+            bank = self.bank
+            self.bank = bank.replace(
+                cond_mem=bank.cond_mem.at[s].set(
+                    jnp.where(sel[:, None, None], old_mem, bank.cond_mem[s])
+                ),
+                cond_ptr=bank.cond_ptr.at[s].set(
+                    jnp.where(sel[:, None], old_ptr, bank.cond_ptr[s])
+                ),
+                cond_obj_valid=bank.cond_obj_valid.at[s].set(
+                    bank.cond_obj_valid[s] | (sel & old_valid)
+                ),
+            )
         return outs
 
     # ------------------------------------------------------------------

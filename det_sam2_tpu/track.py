@@ -847,6 +847,16 @@ class SAM2Engine:
         img_idx [T] maps steps to rows of `images`. Returns (new_bank,
         (pred_masks [T, O_total, 1, s4, s4] fp16, obj_ptr, logits)) —
         split the object axis by `counts` to recover per-video outputs.
+
+        Capacity condition: a partially-skipped step still writes a
+        shared noncond slot (the skipped video's rows merely
+        invalidated), so a skipped video occupies MORE slots than its
+        single-video session would; once the bank is at capacity the
+        furthest-slot eviction can then drop a memory that video's
+        independent run would still hold. Exactness therefore requires
+        noncond_bank_size >= the strided read span
+        ((num_maskmem-1)*stride) plus the max per-video skip count in
+        the window — violations raise below.
         """
         counts = tuple(int(c) for c in counts)
         if bank.num_objects != sum(counts):
@@ -861,6 +871,20 @@ class SAM2Engine:
                 "every reference config)"
             )
         t = len(frame_indices)
+        skips_arr = np.asarray(skips, bool)
+        if skips_arr.size and len(counts) > 1:
+            span = (self.cfg.num_maskmem - 1) * max(
+                1, self.cfg.memory_temporal_stride_for_eval
+            )
+            max_skips = int(skips_arr.sum(axis=0).max())
+            if max_skips and self.cfg.noncond_bank_size < span + max_skips:
+                raise ValueError(
+                    f"noncond_bank_size={self.cfg.noncond_bank_size} cannot "
+                    f"guarantee single-session-exact eviction for a video "
+                    f"with {max_skips} skipped steps this window (needs >= "
+                    f"read span {span} + {max_skips}); enlarge the bank or "
+                    f"shorten the window"
+                )
         if img_idx is None:
             img_idx = np.arange(t, dtype=np.int32)
         if isinstance(images, jax.Array):

@@ -148,6 +148,76 @@ def test_batched_validation_errors(engine):
         )
 
 
+def test_same_frame_sequential_prompts_merge(engine):
+    """Two add_prompts calls at the SAME frame for different video subsets
+    must merge into the existing cond slot, not clobber it: the second
+    call's slot-matched write_cond would otherwise wipe the first call's
+    rows (zero-mask encodings, obj_valid False) and silently break that
+    video's tracking. Both videos must match their independent runs."""
+    frames0 = _frames(5, NUM_FRAMES)
+    frames1 = _frames(6, NUM_FRAMES)
+    p0 = _box(20.0, 24.0, 90.0, 100.0)
+    p1 = _box(40.0, 10.0, 110.0, 80.0)
+
+    streamer = BatchedVideoStreamer(engine, counts=(1, 1))
+    shared = np.stack([frames0[0], frames1[0]])
+    streamer.add_prompts(0, NUM_FRAMES, shared, {0: p0})
+    streamer.add_prompts(0, NUM_FRAMES, shared, {1: p1})
+
+    # the frame-0 cond slot must now carry BOTH videos' rows as valid
+    slot = int(np.where(np.asarray(streamer.bank.cond_frame_idx) == 0)[0][0])
+    assert np.asarray(streamer.bank.cond_obj_valid)[slot].all()
+
+    frame_indices = np.arange(1, 6, dtype=np.int32)
+    window = np.stack(
+        [frames0[np.asarray(frame_indices)],
+         frames1[np.asarray(frame_indices)]], axis=1
+    )
+    low, ptr, logits, skips = streamer.propagate_window(
+        window, frame_indices, NUM_FRAMES
+    )
+    lows = streamer.split(low)
+    ref0 = _single_video_run(engine, frames0, [(0, *p0)], frame_indices, 1)
+    ref1 = _single_video_run(engine, frames1, [(0, *p1)], frame_indices, 1)
+    for v, (rlow, _, _) in ((0, ref0), (1, ref1)):
+        assert (
+            (np.asarray(lows[v], np.float32) > 0) == (rlow > 0)
+        ).mean() > 0.999
+
+
+def test_empty_and_overflowing_prompts_raise(engine):
+    streamer = BatchedVideoStreamer(engine, counts=(1, 1))
+    frames = np.zeros((2, CFG.image_size, CFG.image_size, 3), np.uint8)
+    with pytest.raises(ValueError, match="empty prompts"):
+        streamer.add_prompts(0, NUM_FRAMES, frames, {})
+    # union of live prompt frames beyond min(cond_attn_size,
+    # cond_bank_size) would silently drop a video's only cond frame from
+    # the attended/stored tile set — must refuse upfront (no compute).
+    cap = min(CFG.cond_attn_size, CFG.cond_bank_size)
+    streamer.prompt_frames = [set(range(cap - 1)), {cap - 1}]
+    with pytest.raises(ValueError, match="split the videos"):
+        streamer.add_prompts(
+            cap, NUM_FRAMES, frames, {0: _box(0.0, 0.0, 10.0, 10.0)}
+        )
+
+
+def test_window_skip_capacity_guard(engine):
+    """propagate_window_batched must refuse a window whose per-video skip
+    count can make merged-bank eviction diverge from the single-video
+    session (noncond_bank_size < read span + skips)."""
+    streamer = BatchedVideoStreamer(engine, counts=(1, 1))
+    span = (CFG.num_maskmem - 1) * max(1, CFG.memory_temporal_stride_for_eval)
+    n_skip = CFG.noncond_bank_size - span + 1
+    assert n_skip >= 1
+    t = n_skip + 2
+    streamer.prompt_frames = [set(range(n_skip)), set()]
+    window = np.zeros((t, 2, CFG.image_size, CFG.image_size, 3), np.uint8)
+    with pytest.raises(ValueError, match="single-session-exact"):
+        streamer.propagate_window(
+            window, np.arange(t, dtype=np.int32), NUM_FRAMES
+        )
+
+
 def test_all_skip_step_uploads_nothing(engine):
     """A step where every video is prompted takes the cond skip: zero
     output rows for all videos and no image consumed for that step."""
