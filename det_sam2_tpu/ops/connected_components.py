@@ -276,17 +276,22 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     flat_fg = fg.reshape(-1, h * w)
     flat_ch = changed.reshape(-1, h * w)
 
+    mode = os.environ.get("DET_SAM2_CC_HIST", "int8")
+
     def per_image(lab_row, fg_row, ch_row):
         # Per-label histograms WITHOUT scatter (TPU scatters serialize; a
         # 36k-bin segment_sum costs ~1 ms/frame inside the tracked-frame
         # step). Factor label = r * w + c and express the histogram as a
         # one-hot matmul: areas2d[r, c] = sum_p U[p, r] * V[p, c] with
         # U = onehot(label // w) (fg-masked), V = onehot(label % w).
-        # int8 one-hots ride the int8 MXU path with exact int32
-        # accumulation (counts <= h*w << 2^31) — same integer histogram,
-        # half the operand bytes of bf16. Both histograms (area and
-        # contains-a-changed-pixel) share U via a width-2w V — ONE dot,
-        # one pass over the pixel axis.
+        # Default "int8": int8 one-hots ride the int8 MXU path with exact
+        # int32 accumulation (counts <= h*w << 2^31) — same integer
+        # histogram, half the operand bytes of bf16; both histograms
+        # (area and contains-a-changed-pixel) share U via a width-2w V —
+        # ONE dot, one pass over the pixel axis. DET_SAM2_CC_HIST selects
+        # the alternatives for on-chip A/Bs: "bf16" = the two-dot bf16
+        # form (fp32 accum, exact for counts < 2^24), "bf16x1" = bf16
+        # single-dot with the width-2w V.
         r_hot = (
             (lab_row // w)[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)
@@ -295,16 +300,31 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
             (lab_row % w)[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
         )
-        u = (r_hot & fg_row[:, None]).astype(jnp.int8)
-        v = jnp.concatenate(
-            [c_hot, c_hot & ch_row[:, None]], axis=1
-        ).astype(jnp.int8)
-        both = jax.lax.dot_general(
-            u, v, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        seg_area = both[:, :w].reshape(h * w)
-        seg_changed = both[:, w:].reshape(h * w)
+        if mode == "bf16":
+            c16 = c_hot.astype(jnp.bfloat16)
+
+            def hist(row_mask):
+                u = (r_hot & row_mask[:, None]).astype(jnp.bfloat16)
+                return jax.lax.dot_general(
+                    u, c16, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).reshape(h * w)
+
+            seg_area = hist(fg_row)
+            seg_changed = hist(fg_row & ch_row)
+        else:
+            dt = jnp.bfloat16 if mode == "bf16x1" else jnp.int8
+            acc = jnp.float32 if mode == "bf16x1" else jnp.int32
+            u = (r_hot & fg_row[:, None]).astype(dt)
+            v = jnp.concatenate(
+                [c_hot, c_hot & ch_row[:, None]], axis=1
+            ).astype(dt)
+            both = jax.lax.dot_general(
+                u, v, (((0,), (0,)), ((), ())),
+                preferred_element_type=acc,
+            )
+            seg_area = both[:, :w].reshape(h * w)
+            seg_changed = both[:, w:].reshape(h * w)
         small = (seg_area > 0) & (seg_area <= max_area) & (seg_changed == 0)
         return small[lab_row]
 
