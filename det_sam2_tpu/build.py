@@ -46,6 +46,21 @@ def _resolve_cfg(model_cfg, **overrides) -> SAM2Config:
             cfg = dataclasses.replace(cfg, **overrides)
         return _sized(cfg)
     if isinstance(model_cfg, str):
+        if model_cfg.endswith((".yaml", ".yml")) and os.path.isfile(model_cfg):
+            # reference Hydra YAML file: ingest with the video-predictor
+            # postprocessing injections (build_sam.py:121-136) so the
+            # result matches our presets; explicit kwargs still win.
+            from det_sam2_tpu.config_yaml import (
+                load_reference_yaml,
+                video_predictor_overrides,
+            )
+
+            cfg = load_reference_yaml(model_cfg, video_predictor_overrides())
+            if overrides:
+                import dataclasses
+
+                cfg = dataclasses.replace(cfg, **overrides)
+            return _sized(cfg)
         key = model_cfg
         if key in HF_MODEL_IDS:
             key = HF_MODEL_IDS[key]
@@ -57,6 +72,7 @@ def _resolve_cfg(model_cfg, **overrides) -> SAM2Config:
             return _sized(MODEL_CONFIGS[key](**overrides))
     raise ValueError(
         f"unknown model config {model_cfg!r}; use one of {list(MODEL_CONFIGS)}"
+        " or a reference YAML file path"
     )
 
 
