@@ -163,6 +163,81 @@ def decode_coco_rle(rle: Dict) -> np.ndarray:
     return flat.reshape(w, h).T
 
 
+class MultiplePNGRawDataset:
+    """SA-V-extracted layout: <img_folder>/<video>/*.jpg frame dirs +
+    <gt_folder>/<video>/<obj_id>/<frame:05d>.png per-object mask dirs
+    (reference MultiplePNGSegmentLoader,
+    training/dataset/vos_segment_loader.py:151-232). A missing PNG means
+    an empty mask for that (object, frame); folder names are integer
+    object ids, offset by +1 since background is 0.
+
+    single_object_mode: gt_folder points at ONE object's directory
+    (<video>/<obj_id>) whose name supplies the object id."""
+
+    def __init__(self, img_folder: str, gt_folder: str,
+                 file_list: Optional[Sequence[str]] = None,
+                 single_object_mode: bool = False):
+        self.img_folder = img_folder
+        self.gt_folder = gt_folder
+        self.single_object_mode = single_object_mode
+        self.videos = (
+            list(file_list) if file_list else sorted(os.listdir(img_folder))
+        )
+
+    def __len__(self):
+        return len(self.videos)
+
+    def frame_names(self, video: str) -> List[str]:
+        d = os.path.join(self.img_folder, video)
+        return sorted(
+            os.path.splitext(n)[0]
+            for n in os.listdir(d)
+            if os.path.splitext(n)[-1].lower() in (".jpg", ".jpeg", ".png")
+        )
+
+    def _mask_root(self, video: str) -> str:
+        return os.path.join(self.gt_folder, video)
+
+    def _object_dirs(self, video: str) -> List[Tuple[int, str]]:
+        root = self._mask_root(video)
+        if self.single_object_mode:
+            # the directory name IS the object id (reference :158-172)
+            return [(int(os.path.basename(root.rstrip("/"))) + 1, root)]
+        out = []
+        for name in sorted(os.listdir(root)):
+            p = os.path.join(root, name)
+            if os.path.isdir(p):
+                out.append((int(name) + 1, p))
+        if not out:
+            raise FileNotFoundError(f"no object mask dirs under {root}")
+        return out
+
+    def load_frames(self, video: str, names: Sequence[str]) -> VideoClip:
+        from PIL import Image
+
+        by_stem = _image_files_by_stem(os.path.join(self.img_folder, video))
+        objects = self._object_dirs(video)
+        frames, masks = [], []
+        for name in names:
+            frames.append(
+                np.asarray(Image.open(by_stem[name]).convert("RGB"))
+            )
+            per_obj: Dict[int, np.ndarray] = {}
+            for obj_id, obj_dir in objects:
+                # mask files are zero-padded frame indices (:183, :202)
+                fname = f"{int(name):05d}.png" if name.isdigit() else (
+                    name + ".png"
+                )
+                p = os.path.join(obj_dir, fname)
+                if os.path.exists(p):
+                    per_obj[obj_id] = np.asarray(Image.open(p)) > 0
+                # missing PNG -> empty mask (reference :195-198); keep the
+                # object absent so first-frame object selection matches
+                # the reference's presence test
+            masks.append(per_obj)
+        return VideoClip(frames, masks)
+
+
 class SA1BRawDataset:
     """SA-1B static images as 1-frame videos: <img_folder>/sa_X.jpg +
     <gt_folder>/sa_X.json (reference vos_raw_dataset.py:148-212 +
@@ -399,16 +474,79 @@ def hflip_clip(clip: VideoClip) -> VideoClip:
     )
 
 
+def _jitter_one(f: np.ndarray, rng: random.Random, brightness: float,
+                contrast: float, saturation: float,
+                hue: Optional[float]) -> np.ndarray:
+    """torchvision ColorJitter on one frame: factors drawn uniformly from
+    [1-x, 1+x], ops applied in a random order (transforms.ColorJitter).
+    hue=None disables the hue op (the MOSE recipe sets hue: null)."""
+    img = f.astype(np.float32)
+    ops = []
+    if brightness > 0:
+        b = rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+        ops.append(lambda x: x * b)
+    if contrast > 0:
+        c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+
+        def _contrast(x, c=c):
+            # torchvision blends with the mean of the grayscale image
+            g = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                 + 0.114 * x[..., 2]).mean()
+            return c * x + (1 - c) * g
+
+        ops.append(_contrast)
+    if saturation > 0:
+        s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+
+        def _saturate(x, s=s):
+            g = (0.299 * x[..., 0] + 0.587 * x[..., 1]
+                 + 0.114 * x[..., 2])[..., None]
+            return s * x + (1 - s) * g
+
+        ops.append(_saturate)
+    if hue:
+        h = rng.uniform(-hue, hue)
+
+        def _hue(x, h=h):
+            import cv2
+
+            hsv = cv2.cvtColor(
+                np.clip(x, 0, 255).astype(np.uint8), cv2.COLOR_RGB2HSV
+            )
+            hsv[..., 0] = (hsv[..., 0].astype(np.int32)
+                           + int(h * 180)) % 180
+            return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB).astype(np.float32)
+
+        ops.append(_hue)
+    rng.shuffle(ops)
+    for op in ops:
+        img = op(img)
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
 def color_jitter_clip(clip: VideoClip, rng: random.Random,
-                      strength: float = 0.1) -> VideoClip:
-    scale = np.asarray(
-        [1.0 + rng.uniform(-strength, strength) for _ in range(3)], np.float32
-    )
-    shift = rng.uniform(-strength, strength) * 255 * 0.2
-    frames = [
-        np.clip(f.astype(np.float32) * scale + shift, 0, 255).astype(np.uint8)
-        for f in clip.frames
-    ]
+                      brightness: float = 0.1, contrast: float = 0.03,
+                      saturation: float = 0.03,
+                      hue: Optional[float] = None,
+                      consistent: bool = True) -> VideoClip:
+    """ColorJitter over a clip (reference training/dataset/transforms.py
+    ColorJitter). consistent=True draws ONE set of factors for the whole
+    clip (video-consistent, MOSE yaml :37-42); consistent=False re-draws
+    per frame (the recipe's second jitter, yaml :46-51)."""
+    if consistent:
+        # one rng state for the whole clip: clone the sampled choices by
+        # drawing them once through a frozen child rng per frame
+        seed = rng.random()
+        frames = [
+            _jitter_one(f, random.Random(seed), brightness, contrast,
+                        saturation, hue)
+            for f in clip.frames
+        ]
+    else:
+        frames = [
+            _jitter_one(f, rng, brightness, contrast, saturation, hue)
+            for f in clip.frames
+        ]
     return VideoClip(frames, clip.masks)
 
 
@@ -449,6 +587,11 @@ class VOSDataLoader:
         color_jitter_prob: float = 0.8,
         affine_prob: float = 0.0,  # MOSE recipe uses 1.0, degrees 25/shear 20
         grayscale_prob: float = 0.0,  # MOSE recipe: 0.05
+        # consistent-jitter strengths (MOSE yaml :37-42)
+        color_jitter_strengths: Tuple[float, float, float] = (0.1, 0.03, 0.03),
+        # the recipe's SECOND jitter re-draws factors per frame
+        # (consistent_transform: False, yaml :46-51); None disables
+        per_frame_jitter_strengths: Optional[Tuple[float, float, float]] = None,
         seed: int = 0,
     ):
         self.dataset = dataset
@@ -459,6 +602,11 @@ class VOSDataLoader:
         self.color_jitter_prob = color_jitter_prob
         self.affine_prob = affine_prob
         self.grayscale_prob = grayscale_prob
+        self.color_jitter_strengths = tuple(color_jitter_strengths)
+        self.per_frame_jitter_strengths = (
+            tuple(per_frame_jitter_strengths)
+            if per_frame_jitter_strengths is not None else None
+        )
         self.seed = seed
         # ONE rng advanced across batches() calls: re-seeding per call
         # would make every epoch replay the exact same clips/augs (the
@@ -469,15 +617,27 @@ class VOSDataLoader:
         video = rng.choice(self.dataset.videos)
         names = self.sampler.sample(rng, self.dataset.frame_names(video))
         clip = self.dataset.load_frames(video, names)
+        # reference ComposeAPI order (MOSE yaml :26-51): flip, affine,
+        # resize, consistent jitter, grayscale, per-frame jitter
         if rng.random() < self.hflip_prob:
             clip = hflip_clip(clip)
         if rng.random() < self.affine_prob:
             clip = affine_clip(clip, rng)
+        clip = resize_clip(clip, self.image_size)
         if rng.random() < self.color_jitter_prob:
-            clip = color_jitter_clip(clip, rng)
+            b, c, s = self.color_jitter_strengths
+            clip = color_jitter_clip(
+                clip, rng, brightness=b, contrast=c, saturation=s,
+                consistent=True,
+            )
         if rng.random() < self.grayscale_prob:
             clip = grayscale_clip(clip)
-        clip = resize_clip(clip, self.image_size)
+        if self.per_frame_jitter_strengths is not None:
+            b, c, s = self.per_frame_jitter_strengths
+            clip = color_jitter_clip(
+                clip, rng, brightness=b, contrast=c, saturation=s,
+                consistent=False,
+            )
         # choose up to max_num_objects present in the first frame
         # (vos_sampler.py:31-78; missing objects pad with empty masks)
         obj_ids = sorted(clip.masks[0].keys()) or sorted(
