@@ -40,25 +40,27 @@ WINDOW = 60  # the app's max_frame_num_to_track default (det_sam2_RT.py:41)
 REPEATS = 4
 
 
-def bench_model(cfg) -> float:
+def bench_model(cfg, num_objects: int = NUM_OBJECTS) -> float:
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
     # one cond frame is written below -> attend bucket 1 (what the video
     # predictor would set for this session)
     bank = init_bank(
-        cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16, attend_cond_tiles=1
+        cfg, num_objects=num_objects, dtype=jnp.bfloat16, attend_cond_tiles=1
     )
 
     rng = np.random.default_rng(0)
     size = cfg.image_size
     img = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)
 
-    # prompt frame 0 with two boxes so the memory bank is non-empty
+    # prompt frame 0 with one box per object so the memory bank is non-empty
     feats = engine.encode_image(img)
-    boxes = jnp.asarray(
-        [[[100.0, 120.0], [300.0, 400.0]], [[400.0, 200.0], [700.0, 600.0]]],
-        jnp.float32,
-    )
-    labels = jnp.asarray([[2, 3], [2, 3]], jnp.int32)
+    box_np = np.empty((num_objects, 2, 2), np.float32)
+    for o in range(num_objects):
+        x0 = 60.0 + 83.0 * o
+        y0 = 90.0 + 61.0 * (o % 4)
+        box_np[o] = [[x0, y0], [x0 + 210.0, y0 + 260.0]]
+    boxes = jnp.asarray(box_np)
+    labels = jnp.asarray(np.tile([2, 3], (num_objects, 1)), jnp.int32)
     out = engine.prompt_step(feats, bank, 0, 10_000, boxes, labels, is_init=True)
     bank = engine.encode_cond_memory(
         feats, bank, 0, out["pred_masks"], out["object_score_logits"],
@@ -146,6 +148,22 @@ def main():
                 # conservative — an A100 would be slower at 1024
                 rec["baseline_note"] = "vs the 768^2 A100 baseline"
             print(json.dumps(rec), flush=True)
+    # object-count scaling guard: 8 objects is the steepest point of the
+    # scaling curve (3.5x degradation from 1 obj on hiera-S in round 3);
+    # emit it so regressions in object batching fail loudly
+    fps8 = bench_model(with_image_size(sam2_1_hiera_l(), 768), num_objects=8)
+    print(
+        json.dumps(
+            {
+                "metric": "propagate_fps_hiera_l_768_8obj",
+                "value": round(fps8, 2),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps8 / BASELINE_FPS, 3),
+                "baseline_note": "vs the 2-object A100 baseline",
+            }
+        ),
+        flush=True,
+    )
     try:
         ms = bench_train_step()
         print(

@@ -118,7 +118,7 @@ def build_sam2_engine(
         cfg = dataclasses.replace(
             cfg, hiera=dataclasses.replace(cfg.hiera, quantize_int8=True)
         )
-        params = quantize_trunk(params)
+        params = quantize_trunk(params, skip=cfg.hiera.quant_skip)
     return SAM2Engine(cfg, params=params, dtype=dtype)
 
 

@@ -32,16 +32,19 @@ class HieraConfig:
     patch_stride: int = 4
     patch_padding: int = 3
     drop_path_rate: float = 0.0
-    # Opt-in Pallas fused LN+MLP+residual block tail (ops/fused_mlp.py).
-    # Measured slower than XLA's fusion on v5e (README benchmarks), kept
-    # reachable for A/Bs on other hardware: dataclasses.replace(cfg.hiera,
-    # use_fused_mlp=True) before building the engine.
-    use_fused_mlp: bool = False
     # Opt-in W8A8 int8 trunk dense layers (ops/quant.py): int8 weights
     # (converted from an fp checkpoint via quant.quantize_trunk) + dynamic
     # per-token int8 activations on the MXU's 2x int8 path. Inference
     # only — the rounding has zero gradient.
     quantize_int8: bool = False
+    # Layer kinds to KEEP full-precision when quantize_int8 is set: any of
+    # "qkv", "attn_out", "mlp", "proj" (dim-change shortcut projection).
+    # Must match the `skip` passed to quant.quantize_trunk. Default skips
+    # "proj": quantizing the residual-stream shortcut was the dominant
+    # fidelity cost (box-mask IoU 0.996 -> 1.0 with it fp in the
+    # examples/quant_sensitivity.py sweep) and it is 3 matmuls of the
+    # whole trunk — no measurable speed contribution.
+    quant_skip: Tuple[str, ...] = ("proj",)
 
     @property
     def depth(self) -> int:

@@ -7,8 +7,8 @@ backbones/utils.py (window_partition :16, window_unpartition :42, PatchEmbed
 
   * NHWC end to end (TPU conv layout); no permutes around convs/pools;
   * windowed attention stacks windows in the batch axis — static shapes,
-    and on TPU a Pallas kernel (ops/window_attention.py) runs many
-    windows x heads per grid cell with VMEM-resident softmax;
+    attended by XLA's batched sdpa (Pallas window kernels were tried in 3
+    layouts and measured slower — see CLAUDE.md tried-and-rejected);
   * the bicubic interpolation of the background positional embedding is a
     precomputed dense-matrix resize (utils/resize.py), numerically matching
     torch's bicubic align_corners=False (a = -0.75);
@@ -33,7 +33,6 @@ from det_sam2_tpu.modeling.layers import (
     sdpa,
 )
 from det_sam2_tpu.ops import quant
-from det_sam2_tpu.ops.fused_mlp import fused_ln_mlp
 from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
 
 
@@ -196,20 +195,15 @@ class OutProj(nn.Module):
 
 class MultiScaleAttention(nn.Module):
     """Windowed/global attention with optional 2x query pooling
-    (hieradet.py:40-84).
-
-    `window_attention_fn`, when set, replaces the transpose+attention_fn
-    path with a fn(q, k, v) on the [B, N, heads, D] layout (the Pallas
-    kernel in ops/window_attention.py; measured slower than XLA here, so
-    off by default)."""
+    (hieradet.py:40-84)."""
 
     dim_out: int
     num_heads: int
     q_pool: bool = False
     attention_fn: Callable = sdpa
-    window_attention_fn: Optional[Callable] = None
     dtype: jnp.dtype = jnp.float32
-    quant: bool = False
+    quant_qkv: bool = False
+    quant_out: bool = False
     # static dispatch: global-attention blocks must use attention_fn (the
     # flash kernel) regardless of batch size — inferring window-vs-global
     # from `b > 1` sent BATCHED encodes (set_image_batch / AMG crops) down
@@ -230,7 +224,7 @@ class MultiScaleAttention(nn.Module):
             dim_out=self.dim_out,
             num_heads=self.num_heads,
             dtype=self.dtype,
-            quant=self.quant,
+            quant=self.quant_qkv,
             name="qkv",
         )(x.reshape(b, n, -1))
         oh, ow = h, w
@@ -243,10 +237,7 @@ class MultiScaleAttention(nn.Module):
         # a windowed block with b == 1 (window == whole grid) is
         # mathematically global; keep routing it to the flash path
         use_global = self.is_global or b == 1
-        if self.window_attention_fn is not None and not use_global:
-            o = self.window_attention_fn(q, k, v)  # [B, Nq, heads, D]
-            o = o.transpose(0, 2, 1, 3)
-        elif not use_global:
+        if not use_global:
             # windowed: einsums on the [B, N, heads, D] layout — no
             # explicit q/k/v transposes; XLA folds layout into the dots
             # (same ops as modeling.layers.sdpa: fp32 logits + softmax)
@@ -269,7 +260,7 @@ class MultiScaleAttention(nn.Module):
             v = v.transpose(0, 2, 1, 3)
             o = self.attention_fn(q, k, v)
         o = OutProj(
-            dim_out=self.dim_out, dtype=self.dtype, quant=self.quant,
+            dim_out=self.dim_out, dtype=self.dtype, quant=self.quant_out,
             name="proj",
         )(o)
         if flat:
@@ -288,7 +279,6 @@ class MultiScaleBlock(nn.Module):
     q_stride: Optional[Tuple[int, int]] = None
     mlp_ratio: float = 4.0
     attention_fn: Callable = sdpa
-    window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
     # resident-window mode: input is ALREADY partitioned ([B*nW, ws, ws, C])
@@ -298,8 +288,10 @@ class MultiScaleBlock(nn.Module):
     # copies disappear). The caller (Hiera) partitions once per run of
     # such blocks: ~20% of the 1024^2 hiera-L encoder was relayout copies.
     pre_windowed: bool = False
-    use_fused_mlp: bool = False  # opt-in Pallas MLP tail (see _mlp_tail)
-    quant: bool = False  # opt-in int8 trunk dense layers (ops/quant.py)
+    # int8 trunk dense layers to quantize (ops/quant.py): any of "qkv",
+    # "attn_out", "mlp", "proj" (the dim-change shortcut projection).
+    # Empty = full-precision block.
+    quant_kinds: Tuple[str, ...] = ()
     # stochastic-depth rate for BOTH residual branches (reference
     # hieradet.py:122,165-167); non-zero only when Hiera sees a 'dropout'
     # rng, so inference paths never call make_rng
@@ -314,42 +306,11 @@ class MultiScaleBlock(nn.Module):
         )
 
     def _mlp_tail(self, x):
-        """x + mlp(ln2(x)). use_fused_mlp routes through the Pallas
-        fused LN+MLP+residual kernel (ops/fused_mlp.py) — measured SLOWER
-        than XLA's pipeline for Hiera's shapes on v5e (hiera-L encoder
-        53.0 vs 55.4 FPS @768^2, 28.7 vs 30.8 @1024^2, even with VMEM-
-        resident weights), so it is off by default; XLA's own fusion of
-        the LN/gelu elementwise work into the matmuls plus its layout
-        freedom beats a hand kernel here, same verdict as the Pallas
-        trunk window-attention kernels. Parameter trees are identical
-        either way."""
+        """x + mlp(ln2(x)). Deliberately plain XLA: a Pallas fused
+        LN+MLP+residual kernel was tried (even with VMEM-resident weights)
+        and measured slower than XLA's own fusion/overlap on v5e — see
+        CLAUDE.md tried-and-rejected for the numbers."""
         hidden = int(self.dim_out * self.mlp_ratio)
-        if self.quant:
-            y = LayerNorm(eps=1e-6, name="norm2")(x)
-            y = MLP(
-                hidden_dim=hidden,
-                output_dim=self.dim_out,
-                num_layers=2,
-                activation=self.gelu,
-                dtype=self.dtype,
-                quant=True,
-                name="mlp",
-            )(y)
-            return x + self._drop_path(y)
-        if self.use_fused_mlp and self.gelu in (exact_gelu, approx_gelu):
-            g, b = LayerNorm(eps=1e-6, name="norm2", return_params=True)(x)
-            (w1, b1), (w2, b2) = MLP(
-                hidden_dim=hidden,
-                output_dim=self.dim_out,
-                num_layers=2,
-                dtype=self.dtype,
-                name="mlp",
-                return_params=True,
-            )(x)
-            return fused_ln_mlp(
-                x, g, b, w1, b1, w2, b2,
-                approximate=self.gelu is approx_gelu,
-            )
         y = LayerNorm(eps=1e-6, name="norm2")(x)
         y = MLP(
             hidden_dim=hidden,
@@ -357,6 +318,7 @@ class MultiScaleBlock(nn.Module):
             num_layers=2,
             activation=self.gelu,
             dtype=self.dtype,
+            quant="mlp" in self.quant_kinds,
             name="mlp",
         )(y)
         return x + self._drop_path(y)
@@ -376,9 +338,9 @@ class MultiScaleBlock(nn.Module):
                 num_heads=self.num_heads,
                 q_pool=False,
                 attention_fn=self.attention_fn,
-                window_attention_fn=self.window_attention_fn,
                 dtype=self.dtype,
-                quant=self.quant,
+                quant_qkv="qkv" in self.quant_kinds,
+                quant_out="attn_out" in self.quant_kinds,
                 is_global=False,
                 name="attn",
             )(x)
@@ -389,7 +351,7 @@ class MultiScaleBlock(nn.Module):
         x = LayerNorm(eps=1e-6, name="norm1")(x)
 
         if self.dim != self.dim_out:
-            if self.quant:
+            if "proj" in self.quant_kinds:
                 proj = quant.QuantDense(
                     self.dim_out, dtype=self.dtype, name="proj"
                 )(x)
@@ -407,9 +369,9 @@ class MultiScaleBlock(nn.Module):
             num_heads=self.num_heads,
             q_pool=self.q_stride is not None,
             attention_fn=self.attention_fn,
-            window_attention_fn=self.window_attention_fn,
             dtype=self.dtype,
-            quant=self.quant,
+            quant_qkv="qkv" in self.quant_kinds,
+            quant_out="attn_out" in self.quant_kinds,
             is_global=self.window_size == 0,
             name="attn",
         )(x)
@@ -434,7 +396,6 @@ class Hiera(nn.Module):
 
     cfg: HieraConfig
     attention_fn: Callable = sdpa
-    window_attention_fn: Optional[Callable] = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
     @nn.compact
@@ -485,6 +446,14 @@ class Hiera(nn.Module):
             dpr = [c.drop_path_rate * i / (c.depth - 1) for i in range(c.depth)]
         else:
             dpr = [0.0]
+
+        quant_kinds: Tuple[str, ...] = ()
+        if c.quantize_int8:
+            quant_kinds = tuple(
+                k
+                for k in ("qkv", "attn_out", "mlp", "proj")
+                if k not in c.quant_skip
+            )
 
         outputs: List[jnp.ndarray] = []
         embed_dim, num_heads, cur_stage = c.embed_dim, c.num_heads, 1
@@ -542,12 +511,10 @@ class Hiera(nn.Module):
                 q_stride=c.q_stride if i in q_pool_blocks else None,
                 mlp_ratio=c.mlp_ratio,
                 attention_fn=self.attention_fn,
-                window_attention_fn=self.window_attention_fn,
                 gelu=self.gelu,
                 dtype=self.dtype,
                 pre_windowed=simple,
-                use_fused_mlp=c.use_fused_mlp,
-                quant=c.quantize_int8,
+                quant_kinds=quant_kinds,
                 drop_path_prob=dpr[i] if dp_active else 0.0,
                 name=f"blocks_{i}",
             )(x)

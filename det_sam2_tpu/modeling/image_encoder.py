@@ -74,7 +74,6 @@ class ImageEncoder(nn.Module):
     neck_cfg: FpnNeckConfig
     scalp: int = 1
     attention_fn: Callable = sdpa
-    window_attention_fn: Callable = None
     gelu: Callable = exact_gelu
     dtype: jnp.dtype = jnp.float32
 
@@ -86,7 +85,6 @@ class ImageEncoder(nn.Module):
         feats = Hiera(
             cfg=self.hiera_cfg,
             attention_fn=self.attention_fn,
-            window_attention_fn=self.window_attention_fn,
             gelu=self.gelu,
             dtype=self.dtype,
             name="trunk",

@@ -34,30 +34,8 @@ ACTIVATIONS: dict = {
 }
 
 
-class _DenseParams(nn.Module):
-    """Declares nn.Dense's exact parameter tree (kernel + bias, same
-    initializers) without computing — for fused kernels that consume the
-    weights directly (ops/fused_mlp.py)."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, dim_in: int):
-        k = self.param(
-            "kernel",
-            nn.linear.default_kernel_init,
-            (dim_in, self.features),
-        )
-        b = self.param("bias", nn.initializers.zeros, (self.features,))
-        return k, b
-
-
 class MLP(nn.Module):
-    """N-layer perceptron; activation between layers, optional sigmoid out.
-
-    return_params=True declares the identical parameter tree but returns
-    the [(kernel, bias), ...] leaves instead of computing (for the fused
-    LN+MLP Pallas kernel path)."""
+    """N-layer perceptron; activation between layers, optional sigmoid out."""
 
     hidden_dim: int
     output_dim: int
@@ -65,7 +43,6 @@ class MLP(nn.Module):
     activation: Callable = nn.relu
     sigmoid_output: bool = False
     dtype: Dtype = jnp.float32
-    return_params: bool = False
     quant: bool = False  # int8 weights (ops/quant.py); trunk opt-in only
 
     @nn.compact
@@ -82,17 +59,6 @@ class MLP(nn.Module):
             if self.sigmoid_output:
                 x = jax.nn.sigmoid(x)
             return x
-        if self.return_params:
-            leaves = []
-            dim_in = x.shape[-1]
-            for i in range(self.num_layers):
-                is_last = i == self.num_layers - 1
-                dim = self.output_dim if is_last else self.hidden_dim
-                leaves.append(
-                    _DenseParams(features=dim, name=f"layers_{i}")(dim_in)
-                )
-                dim_in = dim
-            return leaves
         for i in range(self.num_layers):
             is_last = i == self.num_layers - 1
             dim = self.output_dim if is_last else self.hidden_dim
@@ -105,21 +71,15 @@ class MLP(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """LayerNorm over the trailing axis with fp32 statistics.
-
-    return_params=True declares the same (scale, bias) params but returns
-    them instead of normalizing (for the fused LN+MLP Pallas kernel)."""
+    """LayerNorm over the trailing axis with fp32 statistics."""
 
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
-    return_params: bool = False
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        if self.return_params:
-            return scale, bias
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
         mean = jnp.mean(x, axis=-1, keepdims=True)

@@ -36,9 +36,6 @@ NO_OBJ_SCORE = -1024.0
 class SAM2Model(nn.Module):
     cfg: SAM2Config
     attention_fn: Callable = sdpa
-    # small-window trunk attention (ops/window_attention.py Pallas kernel on
-    # TPU); None = use attention_fn via the transpose path
-    window_attention_fn: Callable = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -57,7 +54,6 @@ class SAM2Model(nn.Module):
             neck_cfg=c.neck,
             scalp=c.scalp,
             attention_fn=self.attention_fn,
-            window_attention_fn=self.window_attention_fn,
             gelu=gelu,
             dtype=self.dtype,
         )

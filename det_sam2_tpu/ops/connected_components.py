@@ -276,7 +276,7 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     flat_fg = fg.reshape(-1, h * w)
     flat_ch = changed.reshape(-1, h * w)
 
-    mode = os.environ.get("DET_SAM2_CC_HIST", "int8")
+    mode = os.environ.get("DET_SAM2_CC_HIST", "bf16")
 
     def per_image(lab_row, fg_row, ch_row):
         # Per-label histograms WITHOUT scatter (TPU scatters serialize; a
@@ -284,14 +284,14 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
         # step). Factor label = r * w + c and express the histogram as a
         # one-hot matmul: areas2d[r, c] = sum_p U[p, r] * V[p, c] with
         # U = onehot(label // w) (fg-masked), V = onehot(label % w).
-        # Default "int8": int8 one-hots ride the int8 MXU path with exact
-        # int32 accumulation (counts <= h*w << 2^31) — same integer
-        # histogram, half the operand bytes of bf16; both histograms
-        # (area and contains-a-changed-pixel) share U via a width-2w V —
-        # ONE dot, one pass over the pixel axis. DET_SAM2_CC_HIST selects
-        # the alternatives for on-chip A/Bs: "bf16" = the two-dot bf16
-        # form (fp32 accum, exact for counts < 2^24), "bf16x1" = bf16
-        # single-dot with the width-2w V.
+        # Default "bf16": TWO bf16 dots (fp32 accum, exact for counts
+        # < 2^24) — the round-4 on-chip A/B measured it fastest
+        # (hiera-S 768 whole-scan 105.2 FPS vs 102.8 "int8" / 102.7
+        # "bf16x1"; hiera-L 1024: 30.8 vs 30.35 / 30.49): packing both
+        # histograms (area and contains-a-changed-pixel) into ONE dot via
+        # a width-2w V costs more than the second dot saves, regardless
+        # of operand dtype. DET_SAM2_CC_HIST selects the alternatives for
+        # re-A/Bs on other hardware.
         r_hot = (
             (lab_row // w)[:, None]
             == jax.lax.broadcasted_iota(jnp.int32, (1, h), 1)

@@ -154,17 +154,28 @@ class QuantDense(nn.Module):
 _KERNEL_LEAF = "kernel"
 
 
-def _is_block_dense(path: Tuple[str, ...]) -> bool:
-    """True for trunk dense kernels to quantize. path is the params-tree
+def _block_dense_kind(path: Tuple[str, ...]) -> str:
+    """Layer kind of a trunk block dense kernel ("qkv" / "attn_out" /
+    "mlp" / "proj"), or "" if the leaf is not one. path is the params-tree
     key path, e.g. ('image_encoder','trunk','blocks_3','attn','qkv',
     'kernel')."""
     if path[-1] != _KERNEL_LEAF:
-        return False
+        return ""
     if "trunk" not in path:
-        return False
+        return ""
     if "patch_embed" in path:  # 3-channel conv: skip (tiny, MXU-hostile)
-        return False
-    return any(p.startswith("blocks_") for p in path)
+        return ""
+    if not any(p.startswith("blocks_") for p in path):
+        return ""
+    if path[-2] == "qkv":
+        return "qkv"
+    if path[-2] == "proj" and path[-3] == "attn":
+        return "attn_out"
+    if path[-3] == "mlp":
+        return "mlp"
+    if path[-2] == "proj":  # blocks_i/proj: dim-change shortcut
+        return "proj"
+    return ""
 
 
 def _walk(tree, path=()):
@@ -175,10 +186,13 @@ def _walk(tree, path=()):
         yield path, tree
 
 
-def quantize_trunk(params: dict) -> dict:
+def quantize_trunk(params: dict, skip: Tuple[str, ...] = ()) -> dict:
     """Rewrite every trunk block dense kernel into (kernel_q int8,
     kernel_scale fp32) pairs, leaving all other leaves untouched. The
-    result feeds a model built with HieraConfig.quantize_int8=True."""
+    result feeds a model built with HieraConfig.quantize_int8=True.
+
+    `skip` lists layer kinds to KEEP full-precision ("qkv" / "attn_out" /
+    "mlp" / "proj"); it must match HieraConfig.quant_skip on the model."""
     flat = dict(_walk(params))
     out: dict = {}
 
@@ -189,7 +203,8 @@ def quantize_trunk(params: dict) -> dict:
         node[path[-1]] = leaf
 
     for path, leaf in flat.items():
-        if _is_block_dense(path):
+        kind = _block_dense_kind(path)
+        if kind and kind not in skip:
             w_q, scale = quantize_weight(leaf, contract_axes=(0,))
             insert(path[:-1] + ("kernel_q",), np.asarray(w_q))
             insert(

@@ -174,17 +174,13 @@ class SAM2Engine:
         attention_fn=None,
         seed: int = 0,
     ):
-        window_attention_fn = None
         if attention_fn is None:
             # Pallas flash kernel on TPU (falls back internally for small
-            # problems); plain XLA sdpa elsewhere. NOTE: the Pallas
-            # multi-window trunk kernel (ops/window_attention.py
-            # multi_window_attention, the fn(q, k, v) hiera hook) was
-            # measured SLOWER than XLA's batched window path on v5e (25-31
-            # vs 18 ms hiera-L encoder — many small grid cells, lane-pad
-            # waste at head_dim 72), so window_attention_fn stays None
-            # here; construct SAM2Model directly with it to experiment
-            # (tests/test_window_attention.py does).
+            # problems); plain XLA sdpa elsewhere. Trunk window attention
+            # stays on XLA's batched path: Pallas multi-window kernels
+            # were tried in 3 layouts and measured slower (25-31 vs 18 ms
+            # hiera-L encoder — many small grid cells, lane-pad waste at
+            # head_dim 72; see CLAUDE.md tried-and-rejected).
             if jax.default_backend() == "tpu":
                 attention_fn = flash_attention
             else:
@@ -194,7 +190,6 @@ class SAM2Engine:
         self.model = SAM2Model(
             cfg=cfg,
             attention_fn=attention_fn,
-            window_attention_fn=window_attention_fn,
             dtype=dtype,
         )
         if params is None:

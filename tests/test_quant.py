@@ -69,7 +69,9 @@ def engines():
     qcfg = dataclasses.replace(
         cfg, hiera=dataclasses.replace(cfg.hiera, quantize_int8=True)
     )
-    qparams = quantize_trunk(fp.params)
+    # default scope: dim-change shortcut proj stays fp (quant_skip default;
+    # the sensitivity sweep measured it as the dominant fidelity cost)
+    qparams = quantize_trunk(fp.params, skip=qcfg.hiera.quant_skip)
     q = SAM2Engine(qcfg, params=qparams)
     return fp, q
 
@@ -89,6 +91,10 @@ def test_quantize_trunk_tree(engines):
         np.asarray(fp_leaves[0]), np.asarray(q_leaves[0])
     )
     assert "kernel" in trunk["patch_embed"]["proj"]  # conv stays fp
+    # dim-change shortcut projections stay fp under the default scope
+    for name, blk in trunk.items():
+        if name.startswith("blocks_") and "proj" in blk:
+            assert "kernel" in blk["proj"] and "kernel_q" not in blk["proj"]
 
 
 def test_quantized_encode_fidelity(engines):
@@ -136,7 +142,9 @@ def test_quantized_mask_agreement(engines):
     inter = np.logical_and(m_fp, m_q).sum()
     union = np.logical_or(m_fp, m_q).sum()
     if union > 0:
-        assert inter / union > 0.9, inter / union
+        # repo-standard fidelity bar: with the shortcut proj kept fp
+        # (quant_skip default) the scoped int8 trunk preserves masks
+        assert inter / union > 0.99, inter / union
 
 
 def test_build_quantized_video_predictor():
