@@ -236,6 +236,63 @@ def connected_components_jax(
     return labels_out, areas
 
 
+def _small_via_stencil(
+    fg: jnp.ndarray,
+    labels: jnp.ndarray,
+    changed: jnp.ndarray,
+    max_area: float,
+    a: int,
+) -> jnp.ndarray:
+    """Exact per-group area test as a bounded-displacement stencil.
+
+    After `a` rounds of speed-1 min-propagation, every pixel holding label
+    L = r0*w + c0 reached it along an in-component path of length <= a, so
+    it lies within Chebyshev distance a of pixel (r0, c0); flat-index
+    minimality further forces dr = r - r0 in [0, a] and, when dr == 0,
+    dc >= 0. Group areas (and the contains-a-still-changing-pixel flag)
+    are therefore sums over a fixed (a+1) x (2a+1) window — pure VPU
+    shift/compare/add work on [M, H, W] tiles with an (a, a)-halo, no
+    65k-bin histogram contraction and no flat gather. Counts are exactly
+    the label-group sizes, so the result is bit-identical to the
+    histogram path."""
+    h, w = fg.shape[-2], fg.shape[-1]
+    big = jnp.asarray(np.finfo(np.float32).max, jnp.float32)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    ).astype(jnp.float32)
+    lead_pad = ((0, 0),) * (labels.ndim - 2)
+    # group pixels lie BELOW-or-AT the root row: pad rows (0, a); cols (a, a)
+    pad_lab = jnp.pad(labels, lead_pad + ((0, a), (a, a)), constant_values=big)
+    pad_chg = jnp.pad(changed, lead_pad + ((0, a), (a, a)))
+
+    area = jnp.zeros(labels.shape, jnp.float32)
+    grp_changed = jnp.zeros(labels.shape, bool)
+    for dr in range(0, a + 1):
+        for dc in range(-a, a + 1):
+            if dr == 0 and dc < 0:
+                continue
+            sl = (Ellipsis, slice(dr, dr + h), slice(a + dc, a + dc + w))
+            eq = pad_lab[sl] == iota  # pixel (r+dr, c+dc) holds label r*w+c
+            area = area + eq
+            grp_changed = grp_changed | (eq & pad_chg[sl])
+    small2d = (area > 0) & (area <= max_area) & ~grp_changed
+
+    # back-map group smallness to member pixels: pixel (r, c) holding label
+    # (r-dr)*w + (c-dc) reads small2d at that root — the mirrored stencil
+    pad_small = jnp.pad(small2d, lead_pad + ((a, 0), (a, a)))
+    small_px = jnp.zeros(labels.shape, bool)
+    for dr in range(0, a + 1):
+        for dc in range(-a, a + 1):
+            if dr == 0 and dc < 0:
+                continue
+            root = iota - (dr * w + dc)
+            sl = (Ellipsis, slice(a - dr, a - dr + h),
+                  slice(a - dc, a - dc + w))
+            small_px = small_px | ((labels == root) & pad_small[sl])
+    return small_px & fg
+
+
 def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     """Exact mask of pixels belonging to connected components with area
     <= max_area, using a FIXED number of propagation rounds (hot-path
@@ -272,11 +329,24 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     )
     changed = (_propagate_once(labels, fg) != labels) & fg
 
+    # Path choice: the bounded-displacement stencil costs O(a^2) taps but
+    # avoids the 65k-bin histogram contraction entirely; the histogram is
+    # ~constant in a. On-chip A/B (hiera-L 1024^2 whole-scan, a=8): stencil
+    # 0.24 ms/frame vs histogram 2.06 — stencil wins by ~9x at the default
+    # fill_hole_area=8 and stays ahead until its quadratic tap count
+    # catches up (~a=24 extrapolated), so it is the default for a <= 16.
+    # DET_SAM2_CC_HIST=stencil|bf16|bf16x1|int8 forces a path for re-A/Bs.
+    mode_s = os.environ.get("DET_SAM2_CC_HIST", "")
+    if mode_s == "stencil" or (mode_s == "" and a <= 16):
+        return _small_via_stencil(fg, labels, changed, max_area, a)
+    if mode_s == "":
+        mode_s = "bf16"
+
     flat_lab = jnp.where(fg, labels, 0.0).astype(jnp.int32).reshape(-1, h * w)
     flat_fg = fg.reshape(-1, h * w)
     flat_ch = changed.reshape(-1, h * w)
 
-    mode = os.environ.get("DET_SAM2_CC_HIST", "bf16")
+    mode = mode_s
 
     def per_image(lab_row, fg_row, ch_row):
         # Per-label histograms WITHOUT scatter (TPU scatters serialize; a

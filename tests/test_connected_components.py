@@ -119,3 +119,36 @@ def test_fill_holes_device_adversarial_vs_host():
     labels, areas = get_connected_components_np(masks)
     want = (labels > 0) & (areas <= 8)
     np.testing.assert_array_equal(got, want)
+
+
+def test_small_components_stencil_matches_hist():
+    """The bounded-displacement stencil path (DET_SAM2_CC_HIST=stencil)
+    must be bit-identical to the histogram path and to host CC across
+    densities (sparse speckle -> near-solid)."""
+    import os
+
+    from det_sam2_tpu.ops.connected_components import small_components_jax
+
+    rng = np.random.default_rng(3)
+    prev = os.environ.get("DET_SAM2_CC_HIST")
+    try:
+        for p in (0.05, 0.35, 0.6, 0.9):
+            m = rng.random((2, 48, 64)) < p
+            for area in (8.0, 20.0):  # a=8 (stencil default), a=20 (hist)
+                os.environ["DET_SAM2_CC_HIST"] = "bf16"
+                ref = np.asarray(small_components_jax(jnp.asarray(m), area))
+                os.environ["DET_SAM2_CC_HIST"] = "stencil"
+                got = np.asarray(small_components_jax(jnp.asarray(m), area))
+                np.testing.assert_array_equal(got, ref)
+                os.environ.pop("DET_SAM2_CC_HIST", None)  # auto path
+                auto = np.asarray(small_components_jax(jnp.asarray(m), area))
+                np.testing.assert_array_equal(auto, ref)
+                labels, areas = get_connected_components_np(m)
+                np.testing.assert_array_equal(
+                    got, (labels > 0) & (areas <= area)
+                )
+    finally:
+        if prev is None:
+            os.environ.pop("DET_SAM2_CC_HIST", None)
+        else:
+            os.environ["DET_SAM2_CC_HIST"] = prev
