@@ -131,6 +131,53 @@ def bench_train_step() -> float:
     return 1000.0 * (time.perf_counter() - t0) / reps
 
 
+def bench_mose_train_step() -> dict:
+    """One train step at the reference's ACTUAL finetune shape: hiera-b+
+    @1024^2, T=8 frames, B=1, 3 objects, through the packaged MOSE recipe
+    (sam2/configs/sam2.1_training/sam2.1_hiera_b+_MOSE_finetune.yaml:3-12).
+    Encoder remat keeps the T=8 1024^2 activations inside HBM."""
+    from det_sam2_tpu.training.recipes import mose_finetune_recipe
+    from det_sam2_tpu.training.train_step import make_optimizer, make_train_step
+
+    recipe = mose_finetune_recipe(total_steps=1000, image_size=1024)
+    cfg = recipe.model
+    engine = SAM2Engine(cfg)
+    opt = make_optimizer(recipe.optim, params=engine.params, cfg=cfg)
+    step = make_train_step(cfg, engine.model, opt, loss_fn=recipe.loss,
+                           schedule=None)
+
+    t, s, k = 8, cfg.image_size, 3
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.standard_normal((t, 1, s, s, 3)).astype(np.float32) * 0.2
+    )
+    gt = np.zeros((t, 1, k, s, s), np.float32)
+    for j in range(k):
+        y0, x0 = 100 + 150 * j, 120 + 180 * j
+        for ti in range(t):
+            gt[ti, 0, j, y0 + 8 * ti : y0 + 160 + 8 * ti, x0 : x0 + 160] = 1.0
+    gt = jnp.asarray(gt)
+
+    params, opt_state = engine.params, opt.init(engine.params)
+    params, opt_state, metrics = step(
+        params, opt_state, images, gt, jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(metrics["core_loss"]))
+    reps = 3
+    t0 = time.perf_counter()
+    for i in range(reps):
+        params, opt_state, metrics = step(
+            params, opt_state, images, gt, jax.random.PRNGKey(i + 1)
+        )
+    float(metrics["core_loss"])
+    return {
+        "metric": "train_step_ms_hiera_bplus_1024_T8_3obj",
+        "value": round(1000.0 * (time.perf_counter() - t0) / reps, 1),
+        "unit": "ms/step",
+        "vs_baseline": 0.0,  # no reference per-step time published
+    }
+
+
 def main():
     for name, cfg_fn in (("hiera_s", sam2_1_hiera_s), ("hiera_l", sam2_1_hiera_l)):
         for size in (768, 1024):
@@ -179,6 +226,10 @@ def main():
         )
     except Exception as e:  # never let the training metric break the bench
         print(f"# train-step bench skipped: {e}", flush=True)
+    try:
+        print(json.dumps(bench_mose_train_step()), flush=True)
+    except Exception as e:  # HBM ceiling or tunnel flake must not kill bench
+        print(f"# MOSE-shape train-step bench skipped: {e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -79,6 +79,10 @@ def main():
                 return tsum(*feats)
             o = bank_.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
+            if level == 6:  # select only (gathers, no pack/concat)
+                sel = select_memory(cfg, bank_, frame_idx, num_frames, False)
+                return (tsum(feat, s0, s1, sel["spatial_mem"], sel["ptrs"])
+                        + jnp.sum(sel["spatial_valid"]))
             if level == 1:
                 sel = select_memory(cfg, bank_, frame_idx, num_frames, False)
                 memory, memory_pos, valid, lay = _assemble_memory(
@@ -109,8 +113,13 @@ def main():
 
         return jax.jit(nn.apply(body, model))
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--levels", type=str, default="0,6,1,2,3,4,5")
+    args = ap.parse_args()
+
     prev = None
-    for level in range(6):
+    for level in [int(v) for v in args.levels.split(",")]:
         fn = make(level)
         r = fn({"params": engine.params}, frame, bank, np.int32(1),
                np.int32(10_000))
