@@ -353,6 +353,40 @@ def _desired_noncond_indices(
     return jnp.stack(out)  # [num_maskmem-1], earliest (t_pos=1) first
 
 
+def _take_rows(arr: jnp.ndarray, idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Gather k rows of arr ([N, ...]) at traced indices idx ([k] int32),
+    as k UNROLLED dynamic slices + stack. XLA lowers jnp.take with traced
+    indices to a general gather, which TPU executes (near-)element-serially
+    — profiled at ~1.3 ms for the 7-tile memory selection inside the
+    tracked-frame step; the unrolled dynamic-slice form is pure DMA."""
+    return jnp.stack(
+        [jax.lax.dynamic_index_in_dim(arr, idx[i], keepdims=False)
+         for i in range(k)]
+    )
+
+
+def _take_rows_dot(arr: jnp.ndarray, idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """One-hot-matmul row gather for SMALL arrays ([N, ...] with few kB per
+    row): out[i] = sum_n onehot[i, n] * arr[n]. One MXU dot replaces k
+    dynamic slices (each slice has a ~us dispatch floor; the dot is one op).
+    Exact for fp32/bf16 values (0/1 weights, fp32 accumulation)."""
+    n = arr.shape[0]
+    hot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :])
+    flat = arr.reshape(n, -1)
+    if flat.dtype == jnp.bool_:
+        out = jax.lax.dot_general(
+            hot.astype(jnp.float32), flat.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+        ) > 0.5
+    else:
+        out = jax.lax.dot_general(
+            hot.astype(jnp.float32), flat.astype(jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(arr.dtype)
+    return out.reshape((k,) + arr.shape[1:])
+
+
 def select_memory(
     cfg: SAM2Config,
     bank: MemoryBank,
@@ -384,16 +418,27 @@ def select_memory(
     cond_valid = valid[cond_slots]
     cond_t = bank.cond_frame_idx[cond_slots]
 
-    cond_mem = jnp.take(bank.cond_mem, cond_slots, axis=0)  # [Ka, O, S, Cm]
-    cond_obj_valid = jnp.take(bank.cond_obj_valid, cond_slots, axis=0)  # [Ka, O]
+    # Gather forms were A/B'd in-step on chip (hiera-L 1024, Kc=Kn=32):
+    # jnp.take (general gather) +1.35 ms; one-hot whole-bank dots +1.68;
+    # UNROLLED dynamic slices for the big mem tiles with one-hot dots for
+    # the small ptr/validity arrays +1.01 — the big tiles want pure DMA
+    # slices, the small arrays want one fused MXU op instead of k slice
+    # dispatches.
+    cond_mem = _take_rows(bank.cond_mem, cond_slots, ka)  # [Ka, O, S, Cm]
+    cond_obj_valid = _take_rows_dot(
+        bank.cond_obj_valid, cond_slots, ka
+    )  # [Ka, O]
 
     # --- non-cond tiles at t_pos 1..num_maskmem-1 ---
     desired = _desired_noncond_indices(cfg, frame_idx, reverse)  # [6]
+    nnc = cfg.num_maskmem - 1
     eq = bank.noncond_frame_idx[None, :] == desired[:, None]  # [6, Kn]
     found = eq.any(axis=1) & (desired >= 0)
     nc_slots = jnp.argmax(eq, axis=1)
-    nc_mem = jnp.take(bank.noncond_mem, nc_slots, axis=0)  # [6, O, S, Cm]
-    nc_obj_valid = jnp.take(bank.noncond_obj_valid, nc_slots, axis=0)  # [6, O]
+    nc_mem = _take_rows(bank.noncond_mem, nc_slots, nnc)  # [6, O, S, Cm]
+    nc_obj_valid = _take_rows_dot(
+        bank.noncond_obj_valid, nc_slots, nnc
+    )  # [6, O]
 
     spatial = jnp.concatenate([cond_mem, nc_mem], axis=0)  # [Ka+6, O, S, Cm]
     o = spatial.shape[1]
@@ -417,7 +462,7 @@ def select_memory(
 
     # --- object pointers ---
     # cond part: the selected cond frames (past-only filter at eval)
-    cond_ptrs = jnp.take(bank.cond_ptr, cond_slots, axis=0)  # [Ka, O, C]
+    cond_ptrs = _take_rows_dot(bank.cond_ptr, cond_slots, ka)  # [Ka, O, C]
     if cfg.only_obj_ptrs_in_the_past_for_eval:
         past_ok = (cond_t >= frame_idx) if reverse else (cond_t <= frame_idx)
     else:
@@ -440,17 +485,26 @@ def select_memory(
     eqp = bank.noncond_frame_idx[None, :] == scan_t[:, None]
     nc_found = eqp.any(axis=1)
     scan_slots = jnp.argmax(eqp, axis=1)
-    scan_ptrs = jnp.take(bank.noncond_ptr, scan_slots, axis=0)  # [15, O, C]
-    scan_obj_valid = jnp.take(bank.noncond_obj_valid, scan_slots, axis=0)
+    np_scan = scan_t.shape[0]
+    scan_ptrs = _take_rows_dot(
+        bank.noncond_ptr, scan_slots, np_scan
+    )  # [15, O, C]
+    scan_obj_valid = _take_rows_dot(bank.noncond_obj_valid, scan_slots,
+                                    np_scan)
 
-    selected = jnp.zeros_like(valid).at[cond_slots].set(cond_valid)
+    # selected[k] = slot k was picked as a (valid) cond tile — comparison
+    # form, not a scatter (TPU scatters serialize)
+    selected = (
+        (cond_slots[:, None] == jnp.arange(valid.shape[0])[None, :])
+        & cond_valid[:, None]
+    ).any(axis=0)
     eqc = (bank.cond_frame_idx[None, :] == scan_t[:, None]) & (
         valid & ~selected
     )[None, :]
     c_found = eqc.any(axis=1)
     c_slots = jnp.argmax(eqc, axis=1)
-    c_ptrs = jnp.take(bank.cond_ptr, c_slots, axis=0)
-    c_obj_valid = jnp.take(bank.cond_obj_valid, c_slots, axis=0)
+    c_ptrs = _take_rows_dot(bank.cond_ptr, c_slots, np_scan)
+    c_obj_valid = _take_rows_dot(bank.cond_obj_valid, c_slots, np_scan)
 
     scan_ptrs = jnp.where(nc_found[:, None, None], scan_ptrs, c_ptrs)
     scan_obj_valid = jnp.where(nc_found[:, None], scan_obj_valid, c_obj_valid)

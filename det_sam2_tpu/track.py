@@ -12,6 +12,7 @@ streaming never re-traces.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
@@ -596,7 +597,8 @@ class SAM2Engine:
         )
 
     @functools.lru_cache(maxsize=64)
-    def _propagate_window_fn(self, t: int, n_images: int, reverse: bool):
+    def _propagate_window_fn(self, t: int, n_images: int, reverse: bool,
+                             pipelined: bool = False):
         """Whole propagation window as ONE jitted lax.scan: T frames stream
         through encode+track+write with the MemoryBank as the scan carry.
         One upload, one dispatch, one download per window — the per-frame
@@ -606,7 +608,10 @@ class SAM2Engine:
         Frames flagged in `skips` (prompted/consolidated frames whose
         outputs are reused) pass through via lax.cond without inference or
         bank writes; their images are NOT uploaded — `images` holds only
-        the frames to run, addressed per step via `img_idx`."""
+        the frames to run, addressed per step via `img_idx`.
+
+        pipelined=True selects the software-pipelined body (see
+        body_pipelined); the host wrapper picks it when few steps skip."""
         cfg, model = self.cfg, self.model
         s4 = cfg.image_size // 4
 
@@ -675,7 +680,111 @@ class SAM2Engine:
             low = _fill_stacked(cfg, low)
             return new_bank, (low, ptr, logits)
 
-        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+        def body_pipelined(m: SAM2Model, images, bank: MemoryBank,
+                           frame_indices, skips, img_idx, num_frames,
+                           obj_valid):
+            """Software-pipelined window: step t tracks frame t from CARRIED
+            features while encoding frame t+1 in the same straight-line
+            graph. The serial scan otherwise pays each step's full
+            encode+track dependency chain; putting the (independent) next
+            encode beside the track ops lets XLA's scheduler fill the
+            track side's gather/latency stalls with encoder work. The last
+            frame is tracked in an epilogue so no encode is wasted.
+
+            Skip-step semantics match `body`: no bank write (lax.cond
+            around the small write only), zeroed outputs. Unlike `body`,
+            the track COMPUTE still runs on skip steps (outputs discarded)
+            — the straight-line graph is what enables the overlap — so
+            windows where most steps skip should use the cond path.
+
+            On-chip A/B (whole-window bench, 2 obj): hiera-S 768
+            114.4 -> 117.3 FPS; hiera-L 1024 neutral (32.4 — the chip is
+            already bandwidth-saturated there, no stalls left to fill)."""
+
+            def encode(i_img):
+                img = jax.lax.dynamic_index_in_dim(
+                    images, i_img, axis=0, keepdims=False
+                )
+                return m.forward_image(normalize_image(img)[None])
+
+            def track(bank, feats, frame_idx, skip):
+                o = bank.num_objects
+                s0, s1, feat = _broadcast_feats(feats, o)
+                pix = _conditioned_features(
+                    m, cfg, feat, bank, frame_idx, num_frames, reverse,
+                    is_init=False,
+                )
+                multimask = use_multimask(cfg, is_init=False, num_pts=0)
+                (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                    m.forward_sam_heads(
+                        pix, high_res_features=[s0, s1],
+                        multimask_output=multimask,
+                    )
+                )
+                maskmem = m.encode_memory(
+                    feat, high_res, obj_logits,
+                    binarize=False,
+                    apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
+                )
+                smem = maskmem.reshape(o, -1, cfg.mem_dim)
+                new_bank = jax.lax.cond(
+                    skip,
+                    lambda b: b,
+                    lambda b: write_noncond(
+                        b, frame_idx, smem, obj_ptr, obj_valid=obj_valid
+                    ),
+                    bank,
+                )
+                low = jnp.where(skip, jnp.float16(0),
+                                low_res.astype(jnp.float16))
+                ptr = jnp.where(skip, 0.0, obj_ptr.astype(jnp.float32))
+                logit = jnp.where(skip, 0.0, obj_logits.astype(jnp.float32))
+                return new_bank, (low, ptr, logit)
+
+            feats0 = encode(img_idx[0])
+
+            def step(carry, xs):
+                bank, feats = carry
+                frame_idx, skip, next_i = xs
+                new_bank, outs = track(bank, feats, frame_idx, skip)
+                feats_next = encode(next_i)
+                return (new_bank, feats_next), outs
+
+            if t > 1:
+                xs = (frame_indices[:-1], skips[:-1], img_idx[1:])
+                (bank1, feats_last), (low, ptr, logits) = jax.lax.scan(
+                    step, (bank, feats0), xs
+                )
+            else:
+                bank1, feats_last = bank, feats0
+                o = bank.num_objects
+                low = jnp.zeros((0, o, 1, s4, s4), jnp.float16)
+                ptr = jnp.zeros((0, o, cfg.hidden_dim), jnp.float32)
+                logits = jnp.zeros((0, o, 1), jnp.float32)
+            new_bank, (low_t, ptr_t, logit_t) = track(
+                bank1, feats_last, frame_indices[t - 1], skips[t - 1]
+            )
+            low = jnp.concatenate([low, low_t[None]], axis=0)
+            ptr = jnp.concatenate([ptr, ptr_t[None]], axis=0)
+            logits = jnp.concatenate([logits, logit_t[None]], axis=0)
+            low = _fill_stacked(cfg, low)
+            return new_bank, (low, ptr, logits)
+
+        return jax.jit(
+            nn.apply(body_pipelined if pipelined and t >= 1 else body, model),
+            donate_argnums=(2,),
+        )
+
+    @staticmethod
+    def _use_pipelined_scan(skips) -> bool:
+        """Pipelined scan unless the window is mostly skips (each skip step
+        still pays full track compute there) — or an env override says
+        otherwise (DET_SAM2_SCAN_PIPELINE=0|1)."""
+        env = os.environ.get("DET_SAM2_SCAN_PIPELINE", "")
+        if env in ("0", "1"):
+            return env == "1"
+        s = np.asarray(skips)
+        return s.size > 0 and float(s.mean()) <= 0.25
 
     def propagate_window(self, images, bank, frame_indices, skips,
                          num_frames, reverse=False, obj_valid=None,
@@ -709,7 +818,10 @@ class SAM2Engine:
                 images = np.concatenate([images, pad])
         if obj_valid is None:
             obj_valid = np.ones((bank.num_objects,), bool)
-        return self._propagate_window_fn(t, images.shape[0], bool(reverse))(
+        return self._propagate_window_fn(
+            t, images.shape[0], bool(reverse),
+            self._use_pipelined_scan(skips),
+        )(
             {"params": self.params},
             jnp.asarray(images),
             bank,
