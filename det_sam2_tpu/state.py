@@ -191,7 +191,13 @@ def write_noncond(
     mem: jnp.ndarray,
     ptr: jnp.ndarray,
     obj_valid: jnp.ndarray = None,
+    skip: jnp.ndarray = None,
 ) -> MemoryBank:
+    """Write one non-cond slot (eviction = temporally furthest). With
+    `skip` (traced bool), a skipped write rewrites the chosen slot with its
+    OWN current values — a bit-identical no-op expressed as straight-line
+    dynamic slices, so callers in a scan don't need a lax.cond around the
+    write (conditionals block carry buffer aliasing)."""
     if obj_valid is None:
         obj_valid = jnp.ones((mem.shape[0],), bool)
     slot, _ = _choose_write_slot(
@@ -199,10 +205,18 @@ def write_noncond(
         jnp.zeros_like(bank.noncond_frame_idx, bool),
         frame_idx,
     )
+    mem = mem.astype(bank.noncond_mem.dtype)
+    ptr = ptr.astype(bank.noncond_ptr.dtype)
+    fidx = frame_idx
+    if skip is not None:
+        mem = jnp.where(skip, bank.noncond_mem[slot], mem)
+        ptr = jnp.where(skip, bank.noncond_ptr[slot], ptr)
+        fidx = jnp.where(skip, bank.noncond_frame_idx[slot], frame_idx)
+        obj_valid = jnp.where(skip, bank.noncond_obj_valid[slot], obj_valid)
     return bank.replace(
-        noncond_mem=bank.noncond_mem.at[slot].set(mem.astype(bank.noncond_mem.dtype)),
-        noncond_ptr=bank.noncond_ptr.at[slot].set(ptr.astype(bank.noncond_ptr.dtype)),
-        noncond_frame_idx=bank.noncond_frame_idx.at[slot].set(frame_idx),
+        noncond_mem=bank.noncond_mem.at[slot].set(mem),
+        noncond_ptr=bank.noncond_ptr.at[slot].set(ptr),
+        noncond_frame_idx=bank.noncond_frame_idx.at[slot].set(fidx),
         noncond_obj_valid=bank.noncond_obj_valid.at[slot].set(obj_valid),
     )
 

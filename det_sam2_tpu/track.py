@@ -727,13 +727,12 @@ class SAM2Engine:
                     apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
                 )
                 smem = maskmem.reshape(o, -1, cfg.mem_dim)
-                new_bank = jax.lax.cond(
-                    skip,
-                    lambda b: b,
-                    lambda b: write_noncond(
-                        b, frame_idx, smem, obj_ptr, obj_valid=obj_valid
-                    ),
-                    bank,
+                # masked write, not lax.cond: a conditional in the scan body
+                # blocks carry buffer aliasing (the identity branch forces a
+                # whole-bank copy per frame)
+                new_bank = write_noncond(
+                    bank, frame_idx, smem, obj_ptr, obj_valid=obj_valid,
+                    skip=skip,
                 )
                 low = jnp.where(skip, jnp.float16(0),
                                 low_res.astype(jnp.float16))
