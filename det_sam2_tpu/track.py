@@ -833,7 +833,7 @@ class SAM2Engine:
 
     @functools.lru_cache(maxsize=64)
     def _batched_window_fn(self, t: int, n_images: int, reverse: bool,
-                           counts: tuple):
+                           counts: tuple, pipelined: bool = False):
         """Lockstep multi-video propagation window: B independent video
         streams tracked in ONE scan over a shared frame clock.
 
@@ -938,7 +938,95 @@ class SAM2Engine:
             low = _fill_stacked(cfg, low)
             return new_bank, (low, ptr, logits)
 
-        return jax.jit(nn.apply(body, model), donate_argnums=(2,))
+        def body_pipelined(m: SAM2Model, images, bank: MemoryBank,
+                           frame_indices, skips, img_idx, num_frames,
+                           obj_valid):
+            """Software-pipelined lockstep window (see the single-video
+            body_pipelined): track B frames from carried features while
+            encoding the next B in the same straight-line graph. All-skip
+            steps become a masked no-op bank write (write_noncond
+            skip=all(skip_b)) — identical slot occupancy to the cond
+            path — but still pay full compute, so the wrapper only picks
+            this body when few steps are all-skip."""
+            v_of_o = jnp.asarray(video_of_obj)
+
+            def rep(f):
+                return jnp.repeat(
+                    f, jnp.asarray(counts_arr), axis=0,
+                    total_repeat_length=o_total,
+                )
+
+            def encode(i_img):
+                imgs = jax.lax.dynamic_index_in_dim(
+                    images, i_img, axis=0, keepdims=False
+                )  # [B, H, W, 3]
+                return m.forward_image(normalize_image(imgs))
+
+            def track(bank, feats, frame_idx, skip_b):
+                s0, s1, feat = (rep(f) for f in feats)
+                pix = _conditioned_features(
+                    m, cfg, feat, bank, frame_idx, num_frames, reverse,
+                    is_init=False,
+                )
+                multimask = use_multimask(cfg, is_init=False, num_pts=0)
+                (_, _, ious, low_res, high_res, obj_ptr, obj_logits) = (
+                    m.forward_sam_heads(
+                        pix, high_res_features=[s0, s1],
+                        multimask_output=multimask,
+                    )
+                )
+                maskmem = m.encode_memory(
+                    feat, high_res, obj_logits,
+                    binarize=False, apply_non_overlap=False,
+                )
+                skip_o = skip_b[v_of_o]  # [O_total]
+                new_bank = write_noncond(
+                    bank, frame_idx,
+                    maskmem.reshape(o_total, -1, cfg.mem_dim), obj_ptr,
+                    obj_valid=obj_valid & ~skip_o,
+                    skip=jnp.all(skip_b),
+                )
+                low = jnp.where(
+                    skip_o[:, None, None, None], jnp.float16(0),
+                    low_res.astype(jnp.float16),
+                )
+                ptr = jnp.where(skip_o[:, None], 0.0,
+                                obj_ptr.astype(jnp.float32))
+                logit = jnp.where(skip_o[:, None], 0.0,
+                                  obj_logits.astype(jnp.float32))
+                return new_bank, (low, ptr, logit)
+
+            feats0 = encode(img_idx[0])
+
+            def step(carry, xs):
+                bank, feats = carry
+                frame_idx, skip_b, next_i = xs
+                new_bank, outs = track(bank, feats, frame_idx, skip_b)
+                return (new_bank, encode(next_i)), outs
+
+            if t > 1:
+                xs = (frame_indices[:-1], skips[:-1], img_idx[1:])
+                (bank1, feats_last), (low, ptr, logits) = jax.lax.scan(
+                    step, (bank, feats0), xs
+                )
+            else:
+                bank1, feats_last = bank, feats0
+                low = jnp.zeros((0, o_total, 1, s4, s4), jnp.float16)
+                ptr = jnp.zeros((0, o_total, cfg.hidden_dim), jnp.float32)
+                logits = jnp.zeros((0, o_total, 1), jnp.float32)
+            new_bank, (low_t, ptr_t, logit_t) = track(
+                bank1, feats_last, frame_indices[t - 1], skips[t - 1]
+            )
+            low = jnp.concatenate([low, low_t[None]], axis=0)
+            ptr = jnp.concatenate([ptr, ptr_t[None]], axis=0)
+            logits = jnp.concatenate([logits, logit_t[None]], axis=0)
+            low = _fill_stacked(cfg, low)
+            return new_bank, (low, ptr, logits)
+
+        return jax.jit(
+            nn.apply(body_pipelined if pipelined and t >= 1 else body, model),
+            donate_argnums=(2,),
+        )
 
     def propagate_window_batched(self, images, bank, frame_indices, skips,
                                  num_frames, counts, reverse=False,
@@ -1010,8 +1098,12 @@ class SAM2Engine:
                 images = np.concatenate([images, pad])
         if obj_valid is None:
             obj_valid = np.ones((bank.num_objects,), bool)
+        all_skip_rows = (
+            skips_arr.all(axis=1) if skips_arr.size else skips_arr
+        )
         return self._batched_window_fn(
-            t, images.shape[0], bool(reverse), counts
+            t, images.shape[0], bool(reverse), counts,
+            self._use_pipelined_scan(all_skip_rows),
         )(
             {"params": self.params},
             jnp.asarray(images),
