@@ -17,6 +17,7 @@ backbones/utils.py (window_partition :16, window_unpartition :42, PatchEmbed
 
 from __future__ import annotations
 
+import os
 from typing import Callable, List, Optional, Tuple
 
 import flax.linen as nn
@@ -25,11 +26,16 @@ import jax.numpy as jnp
 
 from det_sam2_tpu.configs import HieraConfig
 from det_sam2_tpu.modeling.layers import (
+    ConvParams,
+    IMAGENET_MEAN,
+    IMAGENET_STD,
     LayerNorm,
     MLP,
     approx_gelu,
     drop_path,
     exact_gelu,
+    s2d_split,
+    s2d_stage,
     sdpa,
 )
 from det_sam2_tpu.ops import quant
@@ -70,7 +76,16 @@ def _max_pool_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class PatchEmbed(nn.Module):
-    """7x7 stride-4 conv patch embedding (backbones/utils.py:66)."""
+    """7x7 stride-4 conv patch embedding (backbones/utils.py:66).
+
+    Fast path: the canonical strided conv on a 3-channel input costs
+    ~1.3 ms/frame at 1024^2 on v5e (2% lane utilization + an im2col layout
+    copy — profiled as the 2nd-largest op in the whole streaming step).
+    When H, W divide the stride and the taps span two stride cells
+    (p <= s, k-1-p < s — true for the 7/4/3 default), the conv runs as a
+    dense 2x2 conv on the space-to-depth layout ([H/4, W/4, 48] -> 144),
+    an exact rearrangement (see layers.s2d_stage). DET_SAM2_PE_S2D=0
+    forces the canonical conv."""
 
     embed_dim: int
     kernel: int = 7
@@ -79,15 +94,41 @@ class PatchEmbed(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # x: [B, H, W, 3]
-        return nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding=[(self.padding, self.padding)] * 2,
-            dtype=self.dtype,
-            name="proj",
-        )(x)
+    def __call__(self, x):  # x: [B, H, W, 3] (float: pre-normalized;
+        # uint8: RAW frames, ImageNet normalization fused in)
+        k, s, p = self.kernel, self.stride, self.padding
+        b, h, w, cin = x.shape
+        fast = (
+            h % s == 0 and w % s == 0 and p <= s and (k - 1 - p) < s
+            and os.environ.get("DET_SAM2_PE_S2D", "1") != "0"
+        )
+        raw = x.dtype == jnp.uint8
+        if not fast:
+            if raw:
+                x = (
+                    x.astype(jnp.float32) / 255.0
+                    - jnp.asarray(IMAGENET_MEAN)
+                ) / jnp.asarray(IMAGENET_STD)
+            return nn.Conv(
+                self.embed_dim,
+                kernel_size=(k, k),
+                strides=(s, s),
+                padding=[(p, p)] * 2,
+                dtype=self.dtype,
+                name="proj",
+            )(x)
+        kernel, bias = ConvParams((k, k, cin, self.embed_dim), name="proj")()
+        xs = s2d_split(x, s)  # uint8: a 1-byte/px transpose, 4x cheaper
+        if raw:
+            # normalization is per-channel affine -> apply AFTER the split
+            # (padding with zeros happens after normalize in the reference,
+            # and s2d_stage's cell padding does too: exact)
+            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+            std = jnp.asarray(IMAGENET_STD, jnp.float32)
+            a = jnp.tile(1.0 / (255.0 * std), s * s).astype(self.dtype)
+            bb = jnp.tile(-mean / std, s * s).astype(self.dtype)
+            xs = xs.astype(self.dtype) * a + bb
+        return s2d_stage(xs, kernel, bias, 1, self.dtype, s=s, p=p)
 
 
 class QKVProj(nn.Module):

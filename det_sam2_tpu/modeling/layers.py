@@ -7,13 +7,106 @@ in NHWC is simply LayerNorm over the trailing channel axis — no permutes.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Dtype = Any
+
+# ImageNet normalization (sam2/utils/transforms.py defaults); shared by the
+# host loaders and the fused uint8 patch-embed path.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth conv rewrite
+#
+# A stride-s conv with few input channels (the 3-channel 7x7 patch embed,
+# the 1->4->16->64 mask downsampler) wastes the TPU's 128-wide lanes and
+# pays an im2col layout copy. When the tap span fits two stride-s cells
+# (p <= s*m and k-1-p < s*m), the conv is EXACTLY a dense 2x2 conv on the
+# space-to-depth layout: out[Y, (q, co)] = sum over cells {Y-1, Y} of
+# W2 . in[cell, (p_in, ci)], where W2 is a zero-padded rearrangement of the
+# canonical taps. All MXU-dense, no layout copies; built from params only,
+# so XLA's while-loop LICM hoists the build out of per-frame scans.
+# ---------------------------------------------------------------------------
+
+
+class ConvParams(nn.Module):
+    """Owns a conv kernel/bias pair with nn.Conv's param names and inits,
+    WITHOUT binding them to a fixed conv op — callers apply them either as
+    the canonical strided conv or as the space-to-depth rearrangement.
+    Given the same `name` as an nn.Conv module, the param tree (and every
+    converted checkpoint) is identical."""
+
+    kernel_shape: tuple  # (kh, kw, cin, cout)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.kernel_shape[-1],)
+        )
+        return kernel, bias
+
+
+@functools.lru_cache(maxsize=32)
+def s2d_phase_map(m: int, k: int, s: int = 2, p: int = None) -> np.ndarray:
+    """R[cell, phase_in, phase_out, tap] placement constant for one axis of
+    the space-to-depth conv rewrite. m = output phases per cell (the
+    remaining downsample factor after this stage); input phases per cell =
+    s*m; taps at stride s with padding p (default (k-1)//2)."""
+    if p is None:
+        p = (k - 1) // 2
+    assert p <= s * m and k - 1 - p < s * m, (
+        "tap span must fit two s2d cells"
+    )
+    r = np.zeros((2, s * m, m, k), np.float32)
+    for q in range(m):
+        for d in range(k):
+            row = s * q + d - p
+            cell, p_in = (1, row) if row >= 0 else (0, s * m + row)
+            if p_in < s * m:
+                r[cell, p_in, q, d] = 1.0
+    return r
+
+
+def s2d_stage(x, kernel, bias, m: int, dtype, s: int = 2, p: int = None):
+    """One stride-s conv stage in the space-to-depth layout.
+
+    x: [B, h, w, (s*m)*(s*m)*ci] (phase-major (py, px), channel-minor);
+    kernel: [k, k, ci, co] canonical taps; returns [B, h, w, m*m*co].
+    Exact up to fp summation order."""
+    kk, _, ci, co = kernel.shape
+    r = jnp.asarray(s2d_phase_map(m, kk, s, p))
+    w2 = jnp.einsum(
+        "apqd,brse,decf->abprcqsf", r, r, kernel.astype(jnp.float32)
+    ).reshape(2, 2, (s * m) * (s * m) * ci, m * m * co)
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype), w2.astype(dtype),
+        window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is None:
+        return out
+    bias2 = jnp.broadcast_to(bias.astype(jnp.float32), (m * m, co)).reshape(-1)
+    return out + bias2.astype(dtype)
+
+
+def s2d_split(x, factor: int):
+    """[B, H, W, C] -> [B, H/f, W/f, f*f*C] (phase-major, channel-minor)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // factor, factor, w // factor, factor, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, h // factor, w // factor, factor * factor * c
+    )
 
 
 def exact_gelu(x: jnp.ndarray) -> jnp.ndarray:

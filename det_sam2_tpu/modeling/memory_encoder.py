@@ -8,74 +8,21 @@ plain trailing-axis LayerNorm in NHWC.
 
 from __future__ import annotations
 
-import functools
 import math
 import os
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from det_sam2_tpu.configs import MemoryEncoderConfig
-from det_sam2_tpu.modeling.layers import LayerNorm, exact_gelu
-
-
-class _ConvParams(nn.Module):
-    """Owns a conv kernel/bias pair with nn.Conv's param names and inits,
-    WITHOUT binding them to a fixed conv op — MaskDownSampler applies them
-    either as the canonical strided conv or as the space-to-depth
-    rearrangement. Named `conv_i`, so the param tree (and every converted
-    checkpoint) is identical to the previous nn.Conv form."""
-
-    kernel_shape: tuple  # (kh, kw, cin, cout)
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(), self.kernel_shape
-        )
-        bias = self.param("bias", nn.initializers.zeros, (self.kernel_shape[-1],))
-        return kernel, bias
-
-
-@functools.lru_cache(maxsize=32)
-def _s2d_phase_map(m: int, k: int) -> np.ndarray:
-    """R[cell, phase_in, phase_out, tap] placement constant for one axis of
-    the space-to-depth conv rewrite: output phase q's tap d (offset d-p)
-    reads input phase p_in of s2d cell Y-1+cell. m = output phases per
-    cell; input phases per cell = 2m; k taps at stride 2, padding (k-1)//2."""
-    pad = (k - 1) // 2
-    r = np.zeros((2, 2 * m, m, k), np.float32)
-    for q in range(m):
-        for d in range(k):
-            row = 2 * q + d - pad
-            cell, p_in = (1, row) if row >= 0 else (0, 2 * m + row)
-            if p_in < 2 * m:
-                r[cell, p_in, q, d] = 1.0
-    return r
-
-
-def _s2d_stage(x, kernel, bias, m: int, dtype):
-    """One k-tap stride-2 conv stage in the space-to-depth layout.
-
-    x: [B, h, w, (2m)*(2m)*ci] (phase-major (py, px), channel-minor);
-    returns [B, h, w, m*m*co]. The dense 2x2 weight is an EXACT zero-padded
-    rearrangement of the canonical [k, k, ci, co] taps, so outputs equal
-    the strided conv up to fp summation order. Built from params only —
-    XLA's while-loop LICM hoists the build out of the per-frame scan."""
-    kk, _, ci, co = kernel.shape
-    r = jnp.asarray(_s2d_phase_map(m, kk))  # [2, 2m, m, k]
-    w2 = jnp.einsum(
-        "apqd,brse,decf->abprcqsf", r, r, kernel.astype(jnp.float32)
-    ).reshape(2, 2, (2 * m) * (2 * m) * ci, m * m * co)
-    bias2 = jnp.broadcast_to(bias.astype(jnp.float32), (m * m, co)).reshape(-1)
-    out = jax.lax.conv_general_dilated(
-        x.astype(dtype), w2.astype(dtype),
-        window_strides=(1, 1), padding=((1, 0), (1, 0)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    return out + bias2.astype(dtype)
+from det_sam2_tpu.modeling.layers import (
+    ConvParams,
+    LayerNorm,
+    exact_gelu,
+    s2d_split,
+    s2d_stage,
+)
 
 
 class MaskDownSampler(nn.Module):
@@ -111,9 +58,9 @@ class MaskDownSampler(nn.Module):
         for i in range(num_layers):
             cin, chans = chans, chans * (s ** 2)
             convs.append(
-                _ConvParams((k, k, cin, chans), name=f"conv_{i}")()
+                ConvParams((k, k, cin, chans), name=f"conv_{i}")()
             )
-        out_kernel, out_bias = _ConvParams(
+        out_kernel, out_bias = ConvParams(
             (1, 1, chans, c.in_dim), name="conv_out"
         )()
         lns = [LayerNorm(eps=1e-6, name=f"ln_{i}") for i in range(num_layers)]
@@ -128,12 +75,11 @@ class MaskDownSampler(nn.Module):
         )
         if fast:
             ho, wo = h // total, w // total
-            x = x.reshape(b, ho, total, wo, total, 1)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, ho, wo, total * total)
+            x = s2d_split(x, total)
             for i, (kernel, bias) in enumerate(convs):
                 m = total // (s ** (i + 1))
                 co = kernel.shape[-1]
-                x = _s2d_stage(x, kernel, bias, m, self.dtype)
+                x = s2d_stage(x, kernel, bias, m, self.dtype)
                 # LN/GELU over each phase's co-group == per-position LN at
                 # the stage's native resolution
                 x = lns[i](x.reshape(b, ho, wo, m * m, co)).reshape(

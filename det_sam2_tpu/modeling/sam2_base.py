@@ -371,6 +371,53 @@ class SAM2Model(nn.Module):
             )
         return maskmem
 
+    def project_memory_k(self, mem: jnp.ndarray, spatial: bool = True
+                         ) -> jnp.ndarray:
+        """Bank-write-time K cache for the bank-indirect cross-attention:
+        [B, S, Cm] memory -> [B, L, S, D] per-layer roped keys of
+        (mem + spatial_pos). The per-frame temporal-position term is added
+        in-kernel at read time (rope distributes over the sum).
+        spatial=False projects obj-ptr staging tokens: the caller already
+        added their positional term and they are never rotated."""
+        c = self.cfg
+        x = mem
+        if spatial:
+            hw = c.image_embedding_size
+            spos = jnp.asarray(
+                sine_pos_embed_2d(hw, hw, c.mem_dim).reshape(1, -1, c.mem_dim)
+            )
+            x = mem + spos.astype(mem.dtype)
+        return self.memory_attention(
+            x, None, mode="project_k", roped=spatial
+        )
+
+    def attend_memory_banked(
+        self,
+        curr_feat: jnp.ndarray,  # [B, s, s, C]
+        mem_k: jnp.ndarray,  # [Ktot+1, B, L, S, D] (staging row written)
+        mem_v: jnp.ndarray,  # [Ktot+1, B, S, Cm]
+        slots: jnp.ndarray,  # [T+1] int32 (incl. the staging row)
+        tpos_vecs: jnp.ndarray,  # [T+1, Cm] (zero row for the staging tile)
+        memory_mask: jnp.ndarray,  # [B, (T+1)*S] bool
+    ) -> jnp.ndarray:
+        """Memory cross-attention reading K/V straight from bank rows."""
+        c = self.cfg
+        b, h, w, cdim = curr_feat.shape
+        curr = curr_feat.reshape(b, h * w, cdim)
+        curr_pos = jnp.asarray(
+            sine_pos_embed_2d(h, w, c.hidden_dim).reshape(1, h * w, c.hidden_dim)
+        ).astype(curr.dtype)
+        curr_pos = jnp.broadcast_to(curr_pos, curr.shape)
+        out = self.memory_attention(
+            curr, None,
+            curr_pos=curr_pos,
+            memory_mask=memory_mask,
+            mode="attend_banked",
+            banked={"mem_k": mem_k, "mem_v": mem_v, "slots": slots,
+                    "tpos_vecs": tpos_vecs},
+        )
+        return out.reshape(b, h, w, cdim)
+
     def obj_ptr_tpos(self, pos: jnp.ndarray, t_diff_max: jnp.ndarray) -> jnp.ndarray:
         """Temporal PE for object pointers (sam2_base.py:599-648):
         pos [P] (signed frame distances) -> [P, mem_dim]."""

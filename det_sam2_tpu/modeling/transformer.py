@@ -70,9 +70,67 @@ class Attention(nn.Module):
         rope_k: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
         num_k_rope: Optional[int] = None,
         bias: Optional[jnp.ndarray] = None,
+        project_k_only: bool = False,
+        banked: Optional[dict] = None,
     ) -> jnp.ndarray:
         internal = self.embedding_dim // self.downsample_rate
         h = self.num_heads
+
+        if project_k_only:
+            # bank-write-time K-cache projection: k_proj (incl. bias) of the
+            # raw input, in the RoPE-permuted column layout. The caller
+            # applies the rotation (or not, for obj-ptr tokens).
+            p1 = rope_channel_perm(internal // h)
+            perm = jnp.asarray(
+                (np.arange(h)[:, None] * (internal // h) + p1[None, :])
+                .reshape(-1)
+            )
+            return _PermutedDense(internal, dtype=self.dtype, name="k_proj")(
+                q, perm
+            )
+
+        if banked is not None:
+            # bank-indirect cross-attention (inference): K/V blocks are read
+            # straight from the memory bank by the Pallas kernel via a
+            # scalar-prefetched slot list; the per-tile temporal-position
+            # K term is added in-kernel (w = Wk @ tpos, rope distributes
+            # over the sum). Only the q side is computed here.
+            assert h == 1, "banked memory attention is single-head"
+            b, nq = q.shape[0], q.shape[1]
+            dh = internal
+            p1 = rope_channel_perm(dh)
+            perm = jnp.asarray(p1)
+            qp = _PermutedDense(internal, dtype=self.dtype, name="q_proj")(
+                q, perm
+            )
+            qp = qp[:, None]  # [B, 1, Nq, D]
+            cos_q, sin_q = rope_q
+            qp = apply_rope_halves(qp, cos_q, sin_q)
+            kp = _PermutedDense(internal, dtype=self.dtype, name="k_proj")
+            tv = banked["tpos_vecs"].astype(self.dtype)  # [T, Cm]
+            w = kp(tv, perm) - kp(jnp.zeros_like(tv[:1]), perm)  # [T, D]
+            from det_sam2_tpu.ops.attention import flash_attention_banked
+
+            o = flash_attention_banked(
+                qp, banked["mem_k"], banked["mem_v"], banked["slots"],
+                w.astype(jnp.float32), banked["bias"], banked["cos"],
+                banked["sin"], layer=banked["layer"],
+            )  # [B, 1, Nq, Cm]
+            o = o[:, 0]
+            v_proj = nn.Dense(internal, dtype=self.dtype, name="v_proj")
+            o = v_proj(o)
+            live = jnp.any(
+                banked["bias"] > -1e29, axis=-1, keepdims=True
+            )  # [B, 1]
+            # objects with NO live key have P = 0: strip the bias v_proj
+            # added (recovered by projecting a zero value row)
+            cm = banked["mem_v"].shape[-1]
+            bv = v_proj(jnp.zeros((1, cm), self.dtype))  # [1, internal]
+            o = jnp.where(live[..., None], o, o - bv[None])
+            return nn.Dense(
+                self.embedding_dim, dtype=self.dtype, name="out_proj"
+            )(o)
+
         b, nq = q.shape[0], q.shape[1]
         nk = k.shape[1]
 

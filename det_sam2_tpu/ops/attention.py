@@ -432,6 +432,172 @@ def _flash_core_bwd(block_q, block_k, interpret, res, dout):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# bank-indirect (slot-compacted) forward kernel for memory cross-attention
+# ---------------------------------------------------------------------------
+
+
+def _flash_banked_kernel(slots_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
+                         sin_ref, w_ref, wr_ref, o_ref,
+                         m_scr, l_scr, acc_scr, *, scale: float, bpt: int):
+    """Online-softmax flash forward whose K/V tiles are read DIRECTLY from
+    the memory bank via a scalar-prefetched slot list (no per-frame gather
+    or K materialization). Each K block adds the per-tile temporal-position
+    correction in-kernel: k = k_cached + cos*w[tile] + sin*wr[tile], where
+    k_cached = rope(Wk(mem + spatial_pos) + bk) was written at bank-write
+    time and w = Wk @ tpos_enc (rope of a broadcast vector distributes:
+    rope(a + b) = rope(a) + rope(b)). cos/sin are full [S, D] VMEM
+    residents (constant index_map: fetched once per launch, not per block);
+    w rows are zero for unroped tiles (the obj-ptr staging tile)."""
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    bias = bias_ref[0, 0, :]  # [BK] fp32
+    tile_live = jnp.max(bias) > _SKIP_THRESHOLD
+
+    @pl.when(tile_live)
+    def _compute():
+        jt = ik // bpt
+        jb = ik % bpt
+        q = q_ref[0]  # [BQ, D]
+        k0 = k_ref[0, 0, 0].astype(jnp.float32)  # [BK, D]
+        cos = cos_ref[jb]  # [BK, D] fp32 (in-tile position block)
+        sin = sin_ref[jb]
+        w = w_ref[pl.ds(jt, 1), :]  # [1, D]
+        wr = wr_ref[pl.ds(jt, 1), :]
+        k = (k0 + cos * w + sin * wr).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = s + bias[None, :]
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        v = v_ref[0, 0]
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_scr[:] = m_new
+
+    @pl.when(ik == nk - 1)
+    def _finalize():
+        denom = jnp.maximum(l_scr[:], 1e-20)
+        o_ref[0] = (acc_scr[:] / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("layer", "block_q", "block_k", "interpret")
+)
+def _flash_banked_call(q, mem_k, mem_v, slots, w, bias, cos, sin,
+                       layer: int, block_q: int, block_k: int,
+                       interpret: bool):
+    """q: [B, Nq, D]; mem_k: [Ktot, B, L, S, D] cached roped K;
+    mem_v: [Ktot, B, S, Cm] raw memory values; slots: [T] int32;
+    w: [T, D] fp32 per-tile K correction (pre-rotation vector);
+    bias: [B, T*S] fp32 additive; cos/sin: [S, D//2] fp32 rope tables
+    (halves layout). Returns [B, Nq, Cm]."""
+    b, nq, d = q.shape
+    ktot, _, nl, s_tile, _ = mem_k.shape
+    cm = mem_v.shape[-1]
+    t_tiles = slots.shape[0]
+    assert s_tile % block_k == 0 and nq % block_q == 0
+    bpt = s_tile // block_k
+    scale = 1.0 / float(np.sqrt(d))
+
+    half = d // 2
+    cos_d = jnp.concatenate([cos, cos], axis=-1).reshape(bpt, block_k, d)
+    sin_d = jnp.concatenate([sin, sin], axis=-1).reshape(bpt, block_k, d)
+    wr = jnp.concatenate([-w[:, half:], w[:, :half]], axis=-1)
+    bias3 = bias.astype(jnp.float32)[:, None, :]  # [B, 1, T*S]
+
+    grid = (b, nq // block_q, t_tiles * bpt)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d),
+                         lambda bb, iq, ik, sl: (bb, iq, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, block_k, d),
+                lambda bb, iq, ik, sl, _l=layer, _bpt=bpt: (
+                    sl[ik // _bpt], bb, _l, ik % _bpt, 0
+                ),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, cm),
+                lambda bb, iq, ik, sl, _bpt=bpt: (
+                    sl[ik // _bpt], bb, ik % _bpt, 0
+                ),
+            ),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bb, iq, ik, sl: (bb, 0, ik)),
+            pl.BlockSpec((bpt, block_k, d),
+                         lambda bb, iq, ik, sl: (0, 0, 0)),
+            pl.BlockSpec((bpt, block_k, d),
+                         lambda bb, iq, ik, sl: (0, 0, 0)),
+            pl.BlockSpec((t_tiles, d), lambda bb, iq, ik, sl: (0, 0)),
+            pl.BlockSpec((t_tiles, d), lambda bb, iq, ik, sl: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, cm),
+                               lambda bb, iq, ik, sl: (bb, iq, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, cm), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_flash_banked_kernel, scale=scale, bpt=bpt),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, nq, cm), q.dtype),
+        interpret=interpret,
+    )(slots.astype(jnp.int32), q, mem_k, mem_v, bias3, cos_d, sin_d,
+      w.astype(jnp.float32), wr.astype(jnp.float32))
+
+
+def flash_attention_banked(
+    q: jnp.ndarray,  # [B, 1, Nq, D] (single-head memory cross-attention)
+    mem_k: jnp.ndarray,  # [Ktot, B, L, S, D]
+    mem_v: jnp.ndarray,  # [Ktot, B, S, Cm]
+    slots: jnp.ndarray,  # [T] int32
+    w: jnp.ndarray,  # [T, D]
+    bias: jnp.ndarray,  # [B, T*S]
+    cos: jnp.ndarray,  # [S, D//2]
+    sin: jnp.ndarray,  # [S, D//2]
+    layer: int,
+    block_q: int = 1024,
+    block_k: int = 2048,
+) -> jnp.ndarray:
+    """Bank-indirect memory cross-attention forward (inference only: no
+    VJP — the training path assembles memory densely and never reaches
+    this). Returns [B, 1, Nq, Cm] raw-value attention output (the caller
+    applies the late v_proj/out_proj, as in the regular low-rank path)."""
+    assert q.shape[1] == 1, "banked path is single-head"
+    b, _, nq, d = q.shape
+    s_tile = mem_v.shape[2]
+    block_q = _pick_block(nq, block_q)
+    while nq % block_q:  # tiny test grids: shrink to a divisor
+        block_q //= 2
+    bk = block_k
+    while s_tile % bk:
+        bk //= 2
+    out = _flash_banked_call(
+        q[:, 0], mem_k, mem_v, slots, w, bias, cos, sin,
+        layer, block_q, bk, jax.default_backend() != "tpu",
+    )
+    return out[:, None]
+
+
 _BLOCK_CANDIDATES = (1024, 768, 512, 384, 256, 128)
 
 

@@ -56,6 +56,16 @@ class MemoryBank:
     noncond_ptr: jnp.ndarray  # [Kn, O, C]
     noncond_frame_idx: jnp.ndarray  # [Kn] int32
     noncond_obj_valid: jnp.ndarray  # [Kn, O] bool
+    # Banked-attention caches (None unless the engine enables the
+    # bank-indirect memory cross-attention). Unified slot space: cond slot
+    # i -> row i, non-cond slot j -> row Kc + j, row Kc + Kn = the per-frame
+    # obj-ptr staging tile. mem_k holds each memory-attention layer's
+    # PROJECTED + ROPED keys of (mem + spatial_pos), computed once at bank
+    # write time; mem_v duplicates the raw memory values so the flash
+    # kernel reads K AND V directly from bank rows via a scalar-prefetched
+    # slot list (no per-frame gather / K materialization).
+    mem_k: jnp.ndarray = None  # [Kc+Kn+1, O, L, S, Dk] or None
+    mem_v: jnp.ndarray = None  # [Kc+Kn+1, O, S, Cm] or None
     # STATIC metadata (not a pytree leaf): how many cond tiles the read path
     # attends. All pre-attention K/V work (projections, RoPE, pos-add) runs
     # densely over the padded memory, so sizing the attend set to the LIVE
@@ -74,10 +84,20 @@ def init_bank(
     num_objects: int,
     dtype=jnp.float32,
     attend_cond_tiles: int = 0,
+    banked_layers: int = 0,
 ) -> MemoryBank:
+    """banked_layers > 0 additionally allocates the bank-indirect attention
+    caches (mem_k/mem_v) for that many memory-attention layers; the engine
+    step functions pick the banked cross-attention path whenever the bank
+    carries them (the pytree structure IS the mode switch)."""
     s = cfg.image_embedding_size ** 2
     kc, kn = cfg.cond_bank_size, cfg.noncond_bank_size
     o, cm, c = num_objects, cfg.mem_dim, cfg.hidden_dim
+    mem_k = mem_v = None
+    if banked_layers > 0:
+        dk = cfg.memory_attention.d_model
+        mem_k = jnp.zeros((kc + kn + 1, o, banked_layers, s, dk), dtype)
+        mem_v = jnp.zeros((kc + kn + 1, o, s, cm), dtype)
     return MemoryBank(
         cond_mem=jnp.zeros((kc, o, s, cm), dtype),
         cond_ptr=jnp.zeros((kc, o, c), dtype),
@@ -88,6 +108,8 @@ def init_bank(
         noncond_ptr=jnp.zeros((kn, o, c), dtype),
         noncond_frame_idx=jnp.full((kn,), INVALID),
         noncond_obj_valid=jnp.zeros((kn, o), bool),
+        mem_k=mem_k,
+        mem_v=mem_v,
         attend_cond_tiles=attend_cond_tiles,
     )
 
@@ -129,6 +151,8 @@ def grow_objects(bank: MemoryBank, new_num_objects: int) -> MemoryBank:
         noncond_mem=_pad(bank.noncond_mem),
         noncond_ptr=_pad(bank.noncond_ptr),
         noncond_obj_valid=_pad(bank.noncond_obj_valid),
+        mem_k=None if bank.mem_k is None else _pad(bank.mem_k),
+        mem_v=None if bank.mem_v is None else _pad(bank.mem_v),
     )
 
 
@@ -162,6 +186,26 @@ def _choose_write_slot(frame_idx_vec, pinned, frame_idx):
     return slot, match.any()
 
 
+def _write_banked(bank: MemoryBank, row, mem, mem_k, skip=None):
+    """Mirror a slot write into the banked-attention caches (row = unified
+    slot index: cond slot i -> i, non-cond slot j -> Kc + j)."""
+    if bank.mem_k is None:
+        return bank
+    assert mem_k is not None, (
+        "bank carries banked-attention caches; writers must pass mem_k "
+        "(model.project_memory_k of the written memory)"
+    )
+    mem_k = mem_k.astype(bank.mem_k.dtype)
+    mem_v = mem.astype(bank.mem_v.dtype)
+    if skip is not None:
+        mem_k = jnp.where(skip, bank.mem_k[row], mem_k)
+        mem_v = jnp.where(skip, bank.mem_v[row], mem_v)
+    return bank.replace(
+        mem_k=bank.mem_k.at[row].set(mem_k),
+        mem_v=bank.mem_v.at[row].set(mem_v),
+    )
+
+
 def write_cond(
     bank: MemoryBank,
     frame_idx: jnp.ndarray,
@@ -169,6 +213,7 @@ def write_cond(
     ptr: jnp.ndarray,  # [O, C]
     obj_valid: jnp.ndarray = None,  # [O] bool: rows backed by live objects
     pinned: bool = False,
+    mem_k: jnp.ndarray = None,  # [O, L, S, Dk] (banked mode only)
 ) -> MemoryBank:
     if obj_valid is None:
         obj_valid = jnp.ones((mem.shape[0],), bool)
@@ -176,6 +221,7 @@ def write_cond(
         bank.cond_frame_idx, bank.cond_pinned, frame_idx
     )
     keep_pin = jnp.where(had_match, bank.cond_pinned[slot], False)
+    bank = _write_banked(bank, slot, mem, mem_k)
     return bank.replace(
         cond_mem=bank.cond_mem.at[slot].set(mem.astype(bank.cond_mem.dtype)),
         cond_ptr=bank.cond_ptr.at[slot].set(ptr.astype(bank.cond_ptr.dtype)),
@@ -192,6 +238,7 @@ def write_noncond(
     ptr: jnp.ndarray,
     obj_valid: jnp.ndarray = None,
     skip: jnp.ndarray = None,
+    mem_k: jnp.ndarray = None,  # [O, L, S, Dk] (banked mode only)
 ) -> MemoryBank:
     """Write one non-cond slot (eviction = temporally furthest). With
     `skip` (traced bool), a skipped write rewrites the chosen slot with its
@@ -204,6 +251,9 @@ def write_noncond(
         bank.noncond_frame_idx,
         jnp.zeros_like(bank.noncond_frame_idx, bool),
         frame_idx,
+    )
+    bank = _write_banked(
+        bank, bank.cond_frame_idx.shape[0] + slot, mem, mem_k, skip=skip
     )
     mem = mem.astype(bank.noncond_mem.dtype)
     ptr = ptr.astype(bank.noncond_ptr.dtype)
@@ -283,6 +333,7 @@ def demote_cond_frame(bank: MemoryBank, frame_idx: jnp.ndarray) -> MemoryBank:
         bank, frame_idx, bank.cond_mem[slot], bank.cond_ptr[slot],
         obj_valid=bank.cond_obj_valid[slot],  # carry per-object validity:
         # defaulting to all-valid would resurrect freed objects' rows
+        mem_k=None if bank.mem_k is None else bank.mem_k[slot],
     )
     # undo the noncond write when the cond frame didn't exist
     bank2 = jax.tree_util.tree_map(
@@ -407,6 +458,7 @@ def select_memory(
     frame_idx: jnp.ndarray,
     num_frames: jnp.ndarray,
     reverse: bool = False,
+    gather_spatial: bool = True,
 ):
     """Gather the packed memory sequence for one tracked frame.
 
@@ -418,6 +470,11 @@ def select_memory(
       ptr_dist      [P] int32            signed frame distance
       ptr_valid     [P] bool
       t_diff_max    scalar int32         tpos normalizer (min(F,16)-1)
+
+    With gather_spatial=False (the bank-indirect attention path), the big
+    tile gathers are skipped: instead of `spatial_mem`, the dict carries
+    `slots` [Ka+6] int32 — UNIFIED bank rows (cond slot i -> i, non-cond
+    slot j -> Kc + j) for the kernel's scalar-prefetch index map.
     """
     lay = memory_layout(cfg, bank.attend_cond_tiles)
     ka = lay.num_cond_tiles
@@ -432,13 +489,6 @@ def select_memory(
     cond_valid = valid[cond_slots]
     cond_t = bank.cond_frame_idx[cond_slots]
 
-    # Gather forms were A/B'd in-step on chip (hiera-L 1024, Kc=Kn=32):
-    # jnp.take (general gather) +1.35 ms; one-hot whole-bank dots +1.68;
-    # UNROLLED dynamic slices for the big mem tiles with one-hot dots for
-    # the small ptr/validity arrays +1.01 — the big tiles want pure DMA
-    # slices, the small arrays want one fused MXU op instead of k slice
-    # dispatches.
-    cond_mem = _take_rows(bank.cond_mem, cond_slots, ka)  # [Ka, O, S, Cm]
     cond_obj_valid = _take_rows_dot(
         bank.cond_obj_valid, cond_slots, ka
     )  # [Ka, O]
@@ -449,14 +499,25 @@ def select_memory(
     eq = bank.noncond_frame_idx[None, :] == desired[:, None]  # [6, Kn]
     found = eq.any(axis=1) & (desired >= 0)
     nc_slots = jnp.argmax(eq, axis=1)
-    nc_mem = _take_rows(bank.noncond_mem, nc_slots, nnc)  # [6, O, S, Cm]
     nc_obj_valid = _take_rows_dot(
         bank.noncond_obj_valid, nc_slots, nnc
     )  # [6, O]
 
-    spatial = jnp.concatenate([cond_mem, nc_mem], axis=0)  # [Ka+6, O, S, Cm]
-    o = spatial.shape[1]
-    spatial = spatial.transpose(1, 0, 2, 3).reshape(o, -1, spatial.shape[-1])
+    spatial = None
+    if gather_spatial:
+        # Gather forms were A/B'd in-step on chip (hiera-L 1024, Kc=Kn=32):
+        # jnp.take (general gather) +1.35 ms; one-hot whole-bank dots +1.68;
+        # UNROLLED dynamic slices for the big mem tiles with one-hot dots
+        # for the small ptr/validity arrays +1.01 — the big tiles want pure
+        # DMA slices, the small arrays want one fused MXU op instead of k
+        # slice dispatches.
+        cond_mem = _take_rows(bank.cond_mem, cond_slots, ka)  # [Ka, O, S, Cm]
+        nc_mem = _take_rows(bank.noncond_mem, nc_slots, nnc)  # [6, O, S, Cm]
+        spatial = jnp.concatenate([cond_mem, nc_mem], 0)  # [Ka+6, O, S, Cm]
+        o = spatial.shape[1]
+        spatial = spatial.transpose(1, 0, 2, 3).reshape(
+            o, -1, spatial.shape[-1]
+        )
 
     nm = cfg.num_maskmem
     spatial_tpos = jnp.concatenate(
@@ -533,7 +594,7 @@ def select_memory(
     if not cfg.use_obj_ptrs_in_encoder:
         ptr_valid = jnp.zeros_like(ptr_valid)
 
-    return {
+    out = {
         "spatial_mem": spatial,
         "spatial_tpos": spatial_tpos,
         "spatial_valid": spatial_valid,
@@ -543,3 +604,9 @@ def select_memory(
         "t_diff_max": max_ptrs - 1,
         "layout": lay,
     }
+    if not gather_spatial:
+        kc = bank.cond_frame_idx.shape[0]
+        out["slots"] = jnp.concatenate([cond_slots, kc + nc_slots]).astype(
+            jnp.int32
+        )
+    return out

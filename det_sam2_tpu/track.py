@@ -28,6 +28,7 @@ from det_sam2_tpu.modeling.position_encoding import sine_pos_embed_2d
 from det_sam2_tpu.modeling.sam2_base import SAM2Model
 from det_sam2_tpu.state import (
     MemoryBank,
+    memory_layout,
     next_pow2,
     select_memory,
     write_cond,
@@ -93,10 +94,18 @@ def _assemble_memory(model: SAM2Model, cfg: SAM2Config, sel):
 
 def _conditioned_features(model, cfg, feat_o, bank, frame_idx, num_frames,
                           reverse: bool, is_init: bool):
+    """Memory-condition the current frame. Returns (pix_feat, bank): the
+    bank is returned because the BANKED path (bank.mem_k is not None)
+    writes the per-frame obj-ptr staging tile into the cache arrays —
+    callers must carry the returned bank so the update stays in-place."""
     if is_init or cfg.num_maskmem == 0:
         if cfg.directly_add_no_mem_embed:
-            return model.no_mem_features(feat_o)
+            return model.no_mem_features(feat_o), bank
         raise NotImplementedError("sam2.1 always sets directly_add_no_mem_embed")
+    if bank.mem_k is not None:
+        return _conditioned_features_banked(
+            model, cfg, feat_o, bank, frame_idx, num_frames, reverse
+        )
     sel = select_memory(cfg, bank, frame_idx, num_frames, reverse)
     memory, memory_pos, valid, lay = _assemble_memory(model, cfg, sel)
     return model.attend_memory(
@@ -106,7 +115,66 @@ def _conditioned_features(model, cfg, feat_o, bank, frame_idx, num_frames,
         valid,
         num_mem_frames=lay.num_mem_frames,
         num_obj_ptr_tokens=lay.num_ptr_tokens,
+    ), bank
+
+
+def _conditioned_features_banked(model, cfg, feat_o, bank, frame_idx,
+                                 num_frames, reverse: bool):
+    """Bank-indirect memory conditioning: no big-tile gathers, no per-frame
+    K projection/rotation — the flash kernel reads the cached K (mem_k) and
+    raw V (mem_v) straight from bank rows via the selected slot list. Only
+    the small per-frame pieces are computed here: obj-ptr tokens (written
+    into the staging row), validity bias, and tpos vectors."""
+    sel = select_memory(cfg, bank, frame_idx, num_frames, reverse,
+                        gather_spatial=False)
+    lay = sel["layout"]
+    s = lay.tokens_per_tile
+    cm = cfg.mem_dim
+
+    ptrs = sel["ptrs"]  # [O, P, C]
+    o, p, c = ptrs.shape
+    tpp = c // cm
+    n_ptr = p * tpp
+    assert n_ptr <= s, "obj-ptr tokens must fit the staging tile"
+    ptr_tokens = ptrs.reshape(o, p, tpp, cm).reshape(o, n_ptr, cm)
+    ptr_pe = model.obj_ptr_tpos(
+        sel["ptr_dist"].astype(jnp.float32), sel["t_diff_max"]
+    )  # [P, Cm]
+    ptr_pos = jnp.repeat(ptr_pe, tpp, axis=0)[None]  # [1, n_ptr, Cm]
+
+    ptr_tokens = ptr_tokens.astype(bank.mem_v.dtype)
+    stage_k = model.project_memory_k(
+        ptr_tokens + ptr_pos.astype(ptr_tokens.dtype), spatial=False
+    )  # [O, L, n_ptr, D]
+    stage_row = bank.mem_k.shape[0] - 1
+    bank = bank.replace(
+        mem_k=bank.mem_k.at[stage_row, :, :, :n_ptr].set(
+            stage_k.astype(bank.mem_k.dtype)
+        ),
+        mem_v=bank.mem_v.at[stage_row, :, :n_ptr].set(ptr_tokens),
     )
+
+    slots = jnp.concatenate(
+        [sel["slots"], jnp.full((1,), stage_row, jnp.int32)]
+    )
+    tpos = model.maskmem_tpos_enc[sel["spatial_tpos"], 0, 0]  # [T, Cm]
+    tpos_vecs = jnp.concatenate([tpos, jnp.zeros((1, cm), tpos.dtype)])
+
+    valid_sp = jnp.repeat(sel["spatial_valid"], s, axis=1)  # [O, T*S]
+    valid_stage = jnp.pad(
+        jnp.repeat(sel["ptr_valid"], tpp, axis=1), ((0, 0), (0, s - n_ptr))
+    )
+    mask = jnp.concatenate([valid_sp, valid_stage], axis=1)
+
+    pix = model.attend_memory_banked(
+        feat_o, bank.mem_k, bank.mem_v, slots, tpos_vecs, mask
+    )
+    return pix, bank
+
+
+def _memk(m, bank, smem):
+    """K-cache for a bank write (None in regular mode)."""
+    return m.project_memory_k(smem) if bank.mem_k is not None else None
 
 
 _IMG_MEAN = np.asarray((0.485, 0.456, 0.406), np.float32)
@@ -114,13 +182,14 @@ _IMG_STD = np.asarray((0.229, 0.224, 0.225), np.float32)
 
 
 def normalize_image(img: jnp.ndarray) -> jnp.ndarray:
-    """uint8 frames -> fp32 ImageNet-normalized. Float inputs are assumed
-    ALREADY normalized and pass through unchanged (the loader's
-    prepare_frame emits normalized fp16; parity tests feed normalized
-    fp32). Raw 0..255 floats are NOT rescaled — convert to uint8 first."""
+    """Float inputs are assumed ALREADY normalized and pass through
+    unchanged (the loader's prepare_frame emits normalized fp16; parity
+    tests feed normalized fp32). uint8 frames pass through RAW: the patch
+    embed fuses the ImageNet affine into its space-to-depth layout (a
+    separate fp32 normalize pass cost ~0.6 ms/frame at 1024^2). Raw 0..255
+    floats are NOT rescaled — convert to uint8 first."""
     if img.dtype == jnp.uint8:
-        x = img.astype(jnp.float32) / 255.0
-        return (x - _IMG_MEAN) / _IMG_STD
+        return img
     return img.astype(jnp.float32)
 
 
@@ -196,6 +265,27 @@ class SAM2Engine:
         if params is None:
             params = self._init_params(seed)
         self.params = params
+
+    @property
+    def banked_layers(self) -> int:
+        """Memory-attention layer count for the bank-indirect
+        cross-attention caches (state.init_bank banked_layers), or 0 for
+        the regular gather path. DET_SAM2_BANKED_ATTN=0|1 overrides the
+        default. Requires the worst-case obj-ptr token count to fit one
+        staging tile (true for every reference config; tiny test grids at
+        full cond capacity may not fit)."""
+        env = os.environ.get("DET_SAM2_BANKED_ATTN", "")
+        if env == "0":
+            return 0
+        lay = memory_layout(self.cfg)  # full-capacity cond tiles
+        fits = lay.num_ptr_tokens <= lay.tokens_per_tile
+        if env == "1":
+            if not fits:
+                raise ValueError(
+                    "banked attention needs obj-ptr tokens to fit one tile"
+                )
+            return self.cfg.memory_attention.num_layers
+        return 0  # default off pending the on-chip A/B
 
     def _init_params(self, seed: int):
         cfg = self.cfg
@@ -285,7 +375,7 @@ class SAM2Engine:
                  obj_valid):
             o = bank.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
-            pix = _conditioned_features(
+            pix, bank = _conditioned_features(
                 m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init=False
             )
             multimask = use_multimask(cfg, is_init=False, num_pts=0)
@@ -303,7 +393,8 @@ class SAM2Engine:
             )
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
             new_bank = write_noncond(bank, frame_idx, smem, obj_ptr,
-                                     obj_valid=obj_valid)
+                                     obj_valid=obj_valid,
+                                     mem_k=_memk(m, bank, smem))
             low_res = _maybe_fill_holes(cfg, low_res)
             out = {
                 "pred_masks": low_res,
@@ -339,7 +430,7 @@ class SAM2Engine:
                  prev_logits):
             o = points.shape[0]
             s0, s1, feat = _broadcast_feats(feats, o)
-            pix = _conditioned_features(
+            pix, bank = _conditioned_features(
                 m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init
             )
             mask_inputs = None
@@ -455,7 +546,7 @@ class SAM2Engine:
                 pix = feat  # no memory conditioning on the direct-mask path
                 outs = m.use_mask_as_output(pix, [s0, s1], mask_inputs)
             else:
-                pix = _conditioned_features(
+                pix, bank = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init
                 )
                 outs = m.forward_sam_heads(
@@ -503,11 +594,13 @@ class SAM2Engine:
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
             smem = maskmem.reshape(o, -1, cfg.mem_dim)
+            memk = _memk(m, bank, smem)
             if to_cond:
                 return write_cond(bank, frame_idx, smem, obj_ptr,
-                                  obj_valid=obj_valid, pinned=pinned)
+                                  obj_valid=obj_valid, pinned=pinned,
+                                  mem_k=memk)
             return write_noncond(bank, frame_idx, smem, obj_ptr,
-                                 obj_valid=obj_valid)
+                                 obj_valid=obj_valid, mem_k=memk)
 
         return jax.jit(nn.apply(body, model), donate_argnums=(2,))
 
@@ -558,7 +651,7 @@ class SAM2Engine:
             feats = m.forward_image(normalize_image(img))
             o = bank.num_objects
             s0, s1, feat = _broadcast_feats(feats, o)
-            pix = _conditioned_features(
+            pix, bank = _conditioned_features(
                 m, cfg, feat, bank, frame_idx, num_frames, reverse, is_init=False
             )
             multimask = use_multimask(cfg, is_init=False, num_pts=0)
@@ -572,9 +665,10 @@ class SAM2Engine:
                 binarize=False,
                 apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
             )
+            smem = maskmem.reshape(o, -1, cfg.mem_dim)
             new_bank = write_noncond(
-                bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim), obj_ptr,
-                obj_valid=obj_valid,
+                bank, frame_idx, smem, obj_ptr,
+                obj_valid=obj_valid, mem_k=_memk(m, bank, smem),
             )
             low_res = _maybe_fill_holes(cfg, low_res)
             return new_bank, {
@@ -627,7 +721,7 @@ class SAM2Engine:
                 feats = m.forward_image(normalize_image(img)[None])
                 o = bank.num_objects
                 s0, s1, feat = _broadcast_feats(feats, o)
-                pix = _conditioned_features(
+                pix, bank = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse,
                     is_init=False,
                 )
@@ -643,9 +737,11 @@ class SAM2Engine:
                     binarize=False,
                     apply_non_overlap=cfg.non_overlap_masks_for_mem_enc,
                 )
+                smem = maskmem.reshape(o, -1, cfg.mem_dim)
                 new_bank = write_noncond(
-                    bank, frame_idx, maskmem.reshape(o, -1, cfg.mem_dim),
+                    bank, frame_idx, smem,
                     obj_ptr, obj_valid=obj_valid,
+                    mem_k=_memk(m, bank, smem),
                 )
                 # fp16 mask logits: halves the per-window download (the
                 # predictor stores them fp16 anyway). fill-holes runs ONCE
@@ -710,7 +806,7 @@ class SAM2Engine:
             def track(bank, feats, frame_idx, skip):
                 o = bank.num_objects
                 s0, s1, feat = _broadcast_feats(feats, o)
-                pix = _conditioned_features(
+                pix, bank = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse,
                     is_init=False,
                 )
@@ -732,7 +828,7 @@ class SAM2Engine:
                 # whole-bank copy per frame)
                 new_bank = write_noncond(
                     bank, frame_idx, smem, obj_ptr, obj_valid=obj_valid,
-                    skip=skip,
+                    skip=skip, mem_k=_memk(m, bank, smem),
                 )
                 low = jnp.where(skip, jnp.float16(0),
                                 low_res.astype(jnp.float16))
@@ -881,7 +977,7 @@ class SAM2Engine:
                 )  # [B, H, W, 3]
                 feats = m.forward_image(normalize_image(imgs))
                 s0, s1, feat = (rep(f) for f in feats)
-                pix = _conditioned_features(
+                pix, bank = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse,
                     is_init=False,
                 )
@@ -901,10 +997,11 @@ class SAM2Engine:
                     binarize=False, apply_non_overlap=False,
                 )
                 skip_o = skip_b[v_of_o]  # [O_total]
+                smem = maskmem.reshape(o_total, -1, cfg.mem_dim)
                 new_bank = write_noncond(
-                    bank, frame_idx,
-                    maskmem.reshape(o_total, -1, cfg.mem_dim), obj_ptr,
+                    bank, frame_idx, smem, obj_ptr,
                     obj_valid=obj_valid & ~skip_o,
+                    mem_k=_memk(m, bank, smem),
                 )
                 # skipped videos emit zeros (the single-video skip_step
                 # contract: callers reuse their stored prompted outputs)
@@ -964,7 +1061,7 @@ class SAM2Engine:
 
             def track(bank, feats, frame_idx, skip_b):
                 s0, s1, feat = (rep(f) for f in feats)
-                pix = _conditioned_features(
+                pix, bank = _conditioned_features(
                     m, cfg, feat, bank, frame_idx, num_frames, reverse,
                     is_init=False,
                 )
@@ -980,11 +1077,12 @@ class SAM2Engine:
                     binarize=False, apply_non_overlap=False,
                 )
                 skip_o = skip_b[v_of_o]  # [O_total]
+                smem = maskmem.reshape(o_total, -1, cfg.mem_dim)
                 new_bank = write_noncond(
-                    bank, frame_idx,
-                    maskmem.reshape(o_total, -1, cfg.mem_dim), obj_ptr,
+                    bank, frame_idx, smem, obj_ptr,
                     obj_valid=obj_valid & ~skip_o,
                     skip=jnp.all(skip_b),
+                    mem_k=_memk(m, bank, smem),
                 )
                 low = jnp.where(
                     skip_o[:, None, None, None], jnp.float16(0),

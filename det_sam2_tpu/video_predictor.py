@@ -317,7 +317,10 @@ class SAM2VideoPredictor:
         target = _bucket(max(num_objects, 1))
         dtype = self.engine.dtype
         if session.bank is None:
-            session.bank = bank_ops.init_bank(self.cfg, target, dtype=dtype)
+            session.bank = bank_ops.init_bank(
+                self.cfg, target, dtype=dtype,
+                banked_layers=self.engine.banked_layers,
+            )
             session.bank_objs = target
         elif target > session.bank_objs:
             session.bank = bank_ops.grow_objects(session.bank, target)
@@ -1138,7 +1141,8 @@ class SAM2VideoPredictor:
         # preload state lives in the bank, so it goes too
         if session.bank is not None:
             session.bank = bank_ops.init_bank(
-                self.cfg, session.bank_objs, dtype=self.engine.dtype
+                self.cfg, session.bank_objs, dtype=self.engine.dtype,
+                banked_layers=self.engine.banked_layers,
             )
             self._refresh_cond_bucket(session)
         session.pre_frames = 0
