@@ -42,13 +42,15 @@ REPEATS = 4
 
 def bench_model(cfg, num_objects: int = NUM_OBJECTS, banked: bool = None) -> float:
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
-    if banked is None:
-        banked = os.environ.get("DET_SAM2_BANKED_ATTN", "0") == "1"
+    layers = (
+        engine.banked_layers if banked is None
+        else (cfg.memory_attention.num_layers if banked else 0)
+    )
     # one cond frame is written below -> attend bucket 1 (what the video
     # predictor would set for this session)
     bank = init_bank(
         cfg, num_objects=num_objects, dtype=jnp.bfloat16, attend_cond_tiles=1,
-        banked_layers=cfg.memory_attention.num_layers if banked else 0,
+        banked_layers=layers,
     )
 
     rng = np.random.default_rng(0)

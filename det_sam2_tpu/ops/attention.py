@@ -23,6 +23,7 @@ honest).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -467,11 +468,17 @@ def _flash_banked_kernel(slots_ref, q_ref, k_ref, v_ref, bias_ref, cos_ref,
         jb = ik % bpt
         q = q_ref[0]  # [BQ, D]
         k0 = k_ref[0, 0, 0].astype(jnp.float32)  # [BK, D]
-        cos = cos_ref[jb]  # [BK, D] fp32 (in-tile position block)
+        cos = cos_ref[jb]  # [BK, D/2] fp32 (in-tile position block)
         sin = sin_ref[jb]
-        w = w_ref[pl.ds(jt, 1), :]  # [1, D]
-        wr = wr_ref[pl.ds(jt, 1), :]
-        k = (k0 + cos * w + sin * wr).astype(q.dtype)
+        half = cos.shape[-1]
+        w1 = w_ref[pl.ds(jt, 1), :]  # [1, D/2]
+        w2 = wr_ref[pl.ds(jt, 1), :]
+        # rope of the broadcast tpos vector, halves layout:
+        # corr = [w1*cos - w2*sin, w1*sin + w2*cos]
+        corr = jnp.concatenate(
+            [cos * w1 - sin * w2, sin * w1 + cos * w2], axis=-1
+        )
+        k = (k0 + corr).astype(q.dtype)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -515,9 +522,10 @@ def _flash_banked_call(q, mem_k, mem_v, slots, w, bias, cos, sin,
     scale = 1.0 / float(np.sqrt(d))
 
     half = d // 2
-    cos_d = jnp.concatenate([cos, cos], axis=-1).reshape(bpt, block_k, d)
-    sin_d = jnp.concatenate([sin, sin], axis=-1).reshape(bpt, block_k, d)
-    wr = jnp.concatenate([-w[:, half:], w[:, :half]], axis=-1)
+    cos_b = cos.reshape(bpt, block_k, half)
+    sin_b = sin.reshape(bpt, block_k, half)
+    w1 = w[:, :half]
+    w2 = w[:, half:]
     bias3 = bias.astype(jnp.float32)[:, None, :]  # [B, 1, T*S]
 
     grid = (b, nq // block_q, t_tiles * bpt)
@@ -541,12 +549,12 @@ def _flash_banked_call(q, mem_k, mem_v, slots, w, bias, cos, sin,
             ),
             pl.BlockSpec((1, 1, block_k),
                          lambda bb, iq, ik, sl: (bb, 0, ik)),
-            pl.BlockSpec((bpt, block_k, d),
+            pl.BlockSpec((bpt, block_k, half),
                          lambda bb, iq, ik, sl: (0, 0, 0)),
-            pl.BlockSpec((bpt, block_k, d),
+            pl.BlockSpec((bpt, block_k, half),
                          lambda bb, iq, ik, sl: (0, 0, 0)),
-            pl.BlockSpec((t_tiles, d), lambda bb, iq, ik, sl: (0, 0)),
-            pl.BlockSpec((t_tiles, d), lambda bb, iq, ik, sl: (0, 0)),
+            pl.BlockSpec((t_tiles, half), lambda bb, iq, ik, sl: (0, 0)),
+            pl.BlockSpec((t_tiles, half), lambda bb, iq, ik, sl: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, cm),
                                lambda bb, iq, ik, sl: (bb, iq, 0)),
@@ -561,8 +569,8 @@ def _flash_banked_call(q, mem_k, mem_v, slots, w, bias, cos, sin,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, nq, cm), q.dtype),
         interpret=interpret,
-    )(slots.astype(jnp.int32), q, mem_k, mem_v, bias3, cos_d, sin_d,
-      w.astype(jnp.float32), wr.astype(jnp.float32))
+    )(slots.astype(jnp.int32), q, mem_k, mem_v, bias3, cos_b, sin_b,
+      w1.astype(jnp.float32), w2.astype(jnp.float32))
 
 
 def flash_attention_banked(
@@ -585,12 +593,16 @@ def flash_attention_banked(
     assert q.shape[1] == 1, "banked path is single-head"
     b, _, nq, d = q.shape
     s_tile = mem_v.shape[2]
-    block_q = _pick_block(nq, block_q)
-    while nq % block_q:  # tiny test grids: shrink to a divisor
-        block_q //= 2
-    bk = block_k
-    while s_tile % bk:
-        bk //= 2
+    # largest Mosaic-legal (multiple-of-128) divisor <= the cap: tiles are
+    # S = (image/16)^2 (4096 @1024^2, 2304 @768^2 -> 1152 not 256), with a
+    # plain power-of-two fallback for tiny test grids. VMEM budget: the
+    # fp32 score block is bq*bk*4 bytes — (1024, 2048) = 8 MB is the
+    # proven-compiling point; bigger bq reduces K re-reads but OOM'd
+    # scoped VMEM at 768^2 (bq=2304, bk=1152 -> 19.5M > 16M).
+    block_q = int(os.environ.get("DET_SAM2_BANKED_BQ", block_q))
+    block_k = int(os.environ.get("DET_SAM2_BANKED_BK", block_k))
+    block_q = _divisor_block(nq, block_q)
+    bk = _divisor_block(s_tile, block_k)
     out = _flash_banked_call(
         q[:, 0], mem_k, mem_v, slots, w, bias, cos, sin,
         layer, block_q, bk, jax.default_backend() != "tpu",
@@ -599,6 +611,21 @@ def flash_attention_banked(
 
 
 _BLOCK_CANDIDATES = (1024, 768, 512, 384, 256, 128)
+
+
+def _divisor_block(n: int, cap: int) -> int:
+    """Largest multiple-of-128 divisor of n that is <= cap; for small n
+    (tiny test grids) the largest power-of-two divisor <= min(n, cap)."""
+    best = 0
+    for m in range(128, cap + 1, 128):
+        if n % m == 0:
+            best = m
+    if best:
+        return best
+    b = 1
+    while b * 2 <= min(n, cap) and n % (b * 2) == 0:
+        b *= 2
+    return b
 
 
 def _pick_block(n: int, cap: int) -> int:
@@ -659,6 +686,12 @@ def flash_attention(
     if bias is not None:
         bf = jnp.broadcast_to(bias[:, 0, 0, :][:, None, :], (b, h, nk))
         bf = bf.reshape(b * h, nk)
+    if q.dtype == jnp.float32:
+        # fp32 training path: halve the block caps — the backward kernels'
+        # fp32 buffers at 1024-blocks exceed the 16 MB scoped-VMEM limit
+        # (hiera-b+ @1024^2 T=8 self-attn bwd measured 21.8M > 16M)
+        block_q = min(block_q, 512)
+        block_k = min(block_k, 512)
     block_q_eff = _pick_block(nq, block_q)
     block_k_eff = _pick_block(nk, block_k)
     out = _flash_core(

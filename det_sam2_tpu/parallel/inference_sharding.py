@@ -44,5 +44,10 @@ def shard_bank(mesh: Mesh, bank: MemoryBank, axis_name: str = "objects"
     assert bank.num_objects % size == 0, (
         f"object axis {bank.num_objects} not divisible by mesh axis {size}"
     )
+    if bank.mem_k is not None:
+        # the bank-indirect Pallas kernel is not GSPMD-partitionable;
+        # dropping the derived caches falls back to the (identical-result)
+        # gather path, which partitions cleanly over the object axis
+        bank = bank.replace(mem_k=None, mem_v=None)
     shardings = bank_shardings(mesh, bank, axis_name)
     return jax.tree_util.tree_map(jax.device_put, bank, shardings)

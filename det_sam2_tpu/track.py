@@ -285,7 +285,12 @@ class SAM2Engine:
                     "banked attention needs obj-ptr tokens to fit one tile"
                 )
             return self.cfg.memory_attention.num_layers
-        return 0  # default off pending the on-chip A/B
+        # default: on for real TPU runs (hiera-L 1024^2 2-obj measured
+        # 32.4 -> 34.6 FPS); off elsewhere (the interpret-mode kernel
+        # would slow CPU tests, which pin parity explicitly instead)
+        if fits and jax.default_backend() == "tpu":
+            return self.cfg.memory_attention.num_layers
+        return 0
 
     def _init_params(self, seed: int):
         cfg = self.cfg
@@ -638,6 +643,34 @@ class SAM2Engine:
             np.asarray(object_score_logits, np.float32), obj_ptr,
             np.asarray(obj_valid),
         )
+
+    def attach_bank_caches(self, bank: MemoryBank) -> MemoryBank:
+        """Allocate + rebuild the banked-attention caches (mem_k/mem_v)
+        from the stored memories. Used after deserializing a bank —
+        save_session strips the caches (they are derived state: per-layer
+        projections of cond/noncond memories). No-op shape-wise when the
+        engine runs the regular path (caches set to None)."""
+        nl = self.banked_layers
+        if nl == 0:
+            return bank.replace(mem_k=None, mem_v=None)
+        cfg, model = self.cfg, self.model
+
+        @jax.jit
+        def build(params, cond_mem, noncond_mem):
+            mems = jnp.concatenate([cond_mem, noncond_mem], axis=0)
+            k, o, s, cm = mems.shape
+            flat = mems.reshape(k * o, s, cm)
+            mk = nn.apply(lambda m, x: m.project_memory_k(x), model)(
+                {"params": params}, flat
+            )  # [K*O, L, S, D]
+            mk = mk.reshape(k, o, nl, s, -1)
+            # + the per-frame obj-ptr staging row (rewritten every frame)
+            mk = jnp.concatenate([mk, jnp.zeros_like(mk[:1])], axis=0)
+            mv = jnp.concatenate([mems, jnp.zeros_like(mems[:1])], axis=0)
+            return mk.astype(mems.dtype), mv
+
+        mem_k, mem_v = build(self.params, bank.cond_mem, bank.noncond_mem)
+        return bank.replace(mem_k=mem_k, mem_v=mem_v)
 
     @functools.lru_cache(maxsize=64)
     def _stream_step_fn(self, reverse: bool):

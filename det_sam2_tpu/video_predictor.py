@@ -991,9 +991,15 @@ class SAM2VideoPredictor:
             "video_width": session.video_width,
             "num_frames": session.num_frames,
             "obj_id_to_idx": dict(session.obj_id_to_idx),
+            # banked-attention caches are DERIVED state (projections of
+            # the stored memories) and large — strip them from the payload
+            # and rebuild on load
             "bank": None
             if session.bank is None
-            else jax.tree_util.tree_map(np.asarray, session.bank),
+            else jax.tree_util.tree_map(
+                np.asarray,
+                session.bank.replace(mem_k=None, mem_v=None),
+            ),
             "bank_objs": session.bank_objs,
             "cond_outputs": session.cond_outputs,
             "noncond_outputs": session.noncond_outputs,
@@ -1034,6 +1040,7 @@ class SAM2VideoPredictor:
             # pin every cond slot so preload memories survive eviction and
             # always join memory attention (sam2_utils.py:56-60)
             bank = bank.replace(cond_pinned=bank.cond_frame_idx >= 0)
+            bank = self.engine.attach_bank_caches(bank)
             session.bank = bank
         session.cond_outputs = payload["cond_outputs"]
         session.noncond_outputs = payload["noncond_outputs"]

@@ -116,3 +116,50 @@ def test_banked_engine_matches_regular():
     bkd = _run_session(banked=True)
     for i, (a, b) in enumerate(zip(reg, bkd)):
         np.testing.assert_allclose(b, a, atol=2e-3, err_msg=f"output {i}")
+
+
+@pytest.mark.slow
+def test_banked_predictor_roundtrip(tmp_path, monkeypatch):
+    """Video predictor with banked attention forced: propagate, save a
+    session (caches stripped from the payload), reload as preload (caches
+    rebuilt via attach_bank_caches), keep tracking."""
+    monkeypatch.setenv("DET_SAM2_BANKED_ATTN", "1")
+    from det_sam2_tpu.video_predictor import SAM2VideoPredictor
+
+    # tiny grids have S=64 staging tokens; cap the cond bank so the
+    # worst-case obj-ptr count (Ka + 15) * 4 fits one tile
+    cfg = tiny_test_config(cond_bank_size=1)
+    engine = SAM2Engine(cfg, seed=7)
+    assert engine.banked_layers == cfg.memory_attention.num_layers
+    vp = SAM2VideoPredictor(engine)
+    rng = np.random.default_rng(2)
+    frames = rng.integers(
+        0, 255, (5, cfg.image_size, cfg.image_size, 3), np.uint8
+    )
+    session = vp.init_state(frames)
+    vp.add_new_points_or_box(
+        session, frame_idx=0, obj_id=1,
+        box=np.asarray([8, 20, 72, 90], np.float32),
+    )
+    masks = {t: m for t, _, m in vp.propagate_in_video(session)}
+    assert session.bank.mem_k is not None
+    assert set(masks) == {0, 1, 2, 3, 4}
+
+    p = tmp_path / "sess.pkl"
+    vp.save_session(session, str(p))
+    import pickle
+
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+    assert payload["bank"].mem_k is None, "caches must not be serialized"
+
+    loaded = vp.load_session_as_preload(str(p), keep_images=False)
+    assert loaded.bank.mem_k is not None, "caches rebuilt on load"
+    # the rebuilt cache must equal a projection of the stored memories
+    rebuilt = engine.attach_bank_caches(
+        loaded.bank.replace(mem_k=None, mem_v=None)
+    )
+    np.testing.assert_allclose(
+        np.asarray(loaded.bank.mem_v, np.float32),
+        np.asarray(rebuilt.mem_v, np.float32), atol=1e-6,
+    )
