@@ -64,7 +64,8 @@ class BatchedVideoStreamer:
             [[0], np.cumsum(self.counts)]
         ).astype(int)
         self.bank = bank_ops.init_bank(
-            cfg, self.num_objects, dtype=engine.dtype, attend_cond_tiles=1
+            cfg, self.num_objects, dtype=engine.dtype, attend_cond_tiles=1,
+            banked_layers=engine.banked_layers,
         )
         # distinct prompted frame indices, per video and union — the cond
         # tile attend-set is selected GLOBALLY by frame distance
@@ -194,6 +195,8 @@ class BatchedVideoStreamer:
                     self.bank.cond_mem[s],
                     self.bank.cond_ptr[s],
                     self.bank.cond_obj_valid[s],
+                    None if self.bank.mem_k is None else self.bank.mem_k[s],
+                    None if self.bank.mem_v is None else self.bank.mem_v[s],
                 )
 
         counts_arr = jnp.asarray(np.asarray(self.counts, np.int32))
@@ -208,9 +211,19 @@ class BatchedVideoStreamer:
             is_mask_from_pts=True, obj_valid=valid,
         )
         if old_slot is not None:
-            old_mem, old_ptr, old_valid = old_slot
+            old_mem, old_ptr, old_valid, old_mk, old_mv = old_slot
             sel = jnp.asarray(keep_rows)
             bank = self.bank
+            kw = {}
+            if old_mk is not None:
+                # cond slot s maps to unified cache row s (state.py layout)
+                kw["mem_k"] = bank.mem_k.at[s].set(
+                    jnp.where(sel[:, None, None, None], old_mk,
+                              bank.mem_k[s])
+                )
+                kw["mem_v"] = bank.mem_v.at[s].set(
+                    jnp.where(sel[:, None, None], old_mv, bank.mem_v[s])
+                )
             self.bank = bank.replace(
                 cond_mem=bank.cond_mem.at[s].set(
                     jnp.where(sel[:, None, None], old_mem, bank.cond_mem[s])
@@ -221,6 +234,7 @@ class BatchedVideoStreamer:
                 cond_obj_valid=bank.cond_obj_valid.at[s].set(
                     bank.cond_obj_valid[s] | (sel & old_valid)
                 ),
+                **kw,
             )
         return outs
 

@@ -583,8 +583,8 @@ def flash_attention_banked(
     cos: jnp.ndarray,  # [S, D//2]
     sin: jnp.ndarray,  # [S, D//2]
     layer: int,
-    block_q: int = 1024,
-    block_k: int = 2048,
+    block_q: int = 2048,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Bank-indirect memory cross-attention forward (inference only: no
     VJP — the training path assembles memory densely and never reaches
@@ -596,9 +596,11 @@ def flash_attention_banked(
     # largest Mosaic-legal (multiple-of-128) divisor <= the cap: tiles are
     # S = (image/16)^2 (4096 @1024^2, 2304 @768^2 -> 1152 not 256), with a
     # plain power-of-two fallback for tiny test grids. VMEM budget: the
-    # fp32 score block is bq*bk*4 bytes — (1024, 2048) = 8 MB is the
-    # proven-compiling point; bigger bq reduces K re-reads but OOM'd
-    # scoped VMEM at 768^2 (bq=2304, bk=1152 -> 19.5M > 16M).
+    # fp32 score block is bq*bk*4 bytes — 8 MB is the proven-compiling
+    # ceiling (whole-tile q at 768^2 OOM'd scoped VMEM: 19.5M > 16M).
+    # Larger bq cuts K re-reads (one full-K sweep per q block): at
+    # hiera-L 1024^2, (2048, 1024) measured 35.18 FPS vs (1024, 2048)
+    # 34.76. DET_SAM2_BANKED_BQ/BK override for A/Bs.
     block_q = int(os.environ.get("DET_SAM2_BANKED_BQ", block_q))
     block_k = int(os.environ.get("DET_SAM2_BANKED_BK", block_k))
     block_q = _divisor_block(nq, block_q)

@@ -119,6 +119,43 @@ def test_banked_engine_matches_regular():
 
 
 @pytest.mark.slow
+def test_banked_batched_streamer_matches_regular(monkeypatch):
+    """Multi-video lockstep streamer: banked bank == regular bank,
+    including the same-frame prompt-merge restore of cache rows."""
+    from det_sam2_tpu.batched import BatchedVideoStreamer
+
+    cfg = tiny_test_config(cond_bank_size=1)
+    rng = np.random.default_rng(4)
+    frames = rng.integers(
+        0, 255, (5, 2, cfg.image_size, cfg.image_size, 3), np.uint8
+    )
+    outs = {}
+    for banked in (False, True):
+        monkeypatch.setenv("DET_SAM2_BANKED_ATTN", "1" if banked else "0")
+        engine = SAM2Engine(cfg, seed=13)
+        s = BatchedVideoStreamer(engine, counts=(1, 1))
+        # two sequential add_prompts at the SAME frame -> merge restore path
+        s.add_prompts(
+            0, 5, frames[0],
+            {0: (np.array([[[4.0, 6.0], [40.0, 52.0]]], np.float32),
+                 np.array([[2, 3]], np.int32))},
+        )
+        s.add_prompts(
+            0, 5, frames[0],
+            {1: (np.array([[[20.0, 12.0], [90.0, 70.0]]], np.float32),
+                 np.array([[2, 3]], np.int32))},
+        )
+        assert (s.bank.mem_k is not None) == banked
+        low, ptr, logits, _ = s.propagate_window(
+            frames[1:], np.arange(1, 5, dtype=np.int32), num_frames=5
+        )
+        outs[banked] = (np.asarray(low, np.float32), np.asarray(ptr),
+                        np.asarray(logits))
+    for a, b in zip(outs[False], outs[True]):
+        np.testing.assert_allclose(b, a, atol=2e-3)
+
+
+@pytest.mark.slow
 def test_banked_predictor_roundtrip(tmp_path, monkeypatch):
     """Video predictor with banked attention forced: propagate, save a
     session (caches stripped from the payload), reload as preload (caches
