@@ -41,6 +41,9 @@ from det_sam2_tpu.modeling.layers import (
 from det_sam2_tpu.ops import quant
 from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
 
+# Read ONCE at import (baked into jit traces; see PatchEmbed docstring).
+_PE_S2D = os.environ.get("DET_SAM2_PE_S2D", "1") != "0"
+
 
 def window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
     """[B, H, W, C] -> [B*nW, ws, ws, C] with zero padding when needed."""
@@ -85,6 +88,7 @@ class PatchEmbed(nn.Module):
     (p <= s, k-1-p < s — true for the 7/4/3 default), the conv runs as a
     dense 2x2 conv on the space-to-depth layout ([H/4, W/4, 48] -> 144),
     an exact rearrangement (see layers.s2d_stage). DET_SAM2_PE_S2D=0
+    (read ONCE at import — a post-compile toggle would be a silent no-op)
     forces the canonical conv."""
 
     embed_dim: int
@@ -100,7 +104,7 @@ class PatchEmbed(nn.Module):
         b, h, w, cin = x.shape
         fast = (
             h % s == 0 and w % s == 0 and p <= s and (k - 1 - p) < s
-            and os.environ.get("DET_SAM2_PE_S2D", "1") != "0"
+            and _PE_S2D
         )
         raw = x.dtype == jnp.uint8
         if not fast:

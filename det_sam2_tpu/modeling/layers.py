@@ -65,8 +65,15 @@ def s2d_phase_map(m: int, k: int, s: int = 2, p: int = None) -> np.ndarray:
     s*m; taps at stride s with padding p (default (k-1)//2)."""
     if p is None:
         p = (k - 1) // 2
-    assert p <= s * m and k - 1 - p < s * m, (
-        "tap span must fit two s2d cells"
+    # Exactness requires EVERY tap to land inside the two-cell window for
+    # every output phase q: the rightmost tap of the last phase reaches
+    # row s*(m-1) + (k-1) - p, which must stay < s*m  =>  k-1-p <= s-1;
+    # the leftmost tap of phase 0 reaches -p >= -s*m  =>  p <= s*m. A
+    # weaker bound would let the p_in guard below silently DROP taps
+    # (wrong conv, no error).
+    assert p <= s * m and k - 1 - p <= s - 1, (
+        f"tap span must fit two s2d cells: need p <= {s * m} and "
+        f"k-1-p <= {s - 1}, got k={k}, s={s}, p={p}, m={m}"
     )
     r = np.zeros((2, s * m, m, k), np.float32)
     for q in range(m):

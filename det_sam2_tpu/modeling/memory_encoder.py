@@ -24,6 +24,9 @@ from det_sam2_tpu.modeling.layers import (
     s2d_stage,
 )
 
+# Read ONCE at import (baked into jit traces; see MaskDownSampler docstring).
+_MDS_S2D = os.environ.get("DET_SAM2_MDS_S2D", "1") != "0"
+
 
 class MaskDownSampler(nn.Module):
     """Stacked stride-s convs downsampling the mask by total_stride
@@ -36,6 +39,7 @@ class MaskDownSampler(nn.Module):
     dispatch floors at 1024^2) becomes a dense 2x2x256x256 MXU conv whose
     weights are an exact rearrangement of the canonical taps; LayerNorm/GELU
     act on per-phase channel groups, bit-equal math. DET_SAM2_MDS_S2D=0
+    (read ONCE at import — a post-compile toggle would be a silent no-op)
     forces the canonical per-resolution path."""
 
     cfg: MemoryEncoderConfig
@@ -71,7 +75,7 @@ class MaskDownSampler(nn.Module):
             and cin0 == 1
             and h % total == 0
             and w % total == 0
-            and os.environ.get("DET_SAM2_MDS_S2D", "1") != "0"
+            and _MDS_S2D
         )
         if fast:
             ho, wo = h // total, w // total

@@ -37,6 +37,13 @@ from det_sam2_tpu.modeling.layers import sdpa
 _NEG_INF = -1e30
 _SKIP_THRESHOLD = -1e29  # a tile whose max bias is below this is skipped
 
+# Banked-kernel block overrides, read ONCE at import: the block choice is
+# baked into every jit trace that reaches the kernel, so re-reading the env
+# per call would make post-compile toggles silent no-ops (an A/B trap).
+# A/B harnesses set the env before importing, one mode per process.
+_BANKED_BQ_ENV = int(os.environ.get("DET_SAM2_BANKED_BQ", 0)) or None
+_BANKED_BK_ENV = int(os.environ.get("DET_SAM2_BANKED_BK", 0)) or None
+
 
 def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref,
                   m_scr, l_scr, acc_scr, *, scale: float, has_bias: bool):
@@ -600,16 +607,44 @@ def flash_attention_banked(
     # ceiling (whole-tile q at 768^2 OOM'd scoped VMEM: 19.5M > 16M).
     # Larger bq cuts K re-reads (one full-K sweep per q block): at
     # hiera-L 1024^2, (2048, 1024) measured 35.18 FPS vs (1024, 2048)
-    # 34.76. DET_SAM2_BANKED_BQ/BK override for A/Bs.
-    block_q = int(os.environ.get("DET_SAM2_BANKED_BQ", block_q))
-    block_k = int(os.environ.get("DET_SAM2_BANKED_BK", block_k))
+    # 34.76. DET_SAM2_BANKED_BQ/BK (import-time) override for A/Bs.
+    block_q = _BANKED_BQ_ENV or block_q
+    block_k = _BANKED_BK_ENV or block_k
     block_q = _divisor_block(nq, block_q)
     bk = _divisor_block(s_tile, block_k)
     out = _flash_banked_call(
         q[:, 0], mem_k, mem_v, slots, w, bias, cos, sin,
         layer, block_q, bk, jax.default_backend() != "tpu",
     )
-    return out[:, None]
+    return _banked_inference_only(out)[:, None]
+
+
+@jax.custom_vjp
+def _banked_inference_only(out):
+    """Identity gate that turns an attempted differentiation of the banked
+    kernel into a descriptive error instead of an opaque Pallas one. The
+    mode switch is the bank pytree (mem_k present), so a training path
+    handed a banked bank would otherwise fail deep inside pallas_call."""
+    return out
+
+
+def _banked_inference_only_fwd(out):
+    return out, None
+
+
+def _banked_inference_only_bwd(_, g):
+    raise NotImplementedError(
+        "flash_attention_banked is inference-only (no VJP): banked-mode "
+        "memory cross-attention reads K/V from bank-resident caches. For "
+        "training/finetuning, assemble memory densely — build the bank "
+        "with banked_layers=0 (init_bank default) so MemoryAttention takes "
+        "the differentiable gather path (see make_train_step)."
+    )
+
+
+_banked_inference_only.defvjp(
+    _banked_inference_only_fwd, _banked_inference_only_bwd
+)
 
 
 _BLOCK_CANDIDATES = (1024, 768, 512, 384, 256, 128)

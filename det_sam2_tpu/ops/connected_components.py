@@ -26,6 +26,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Histogram-path override, read ONCE at import: env toggles after the
+# first jit trace would silently have no effect (the mode is baked into
+# the compiled step), so runtime control goes through the explicit `mode`
+# argument of small_components_jax instead.
+_CC_HIST_MODE = os.environ.get("DET_SAM2_CC_HIST", "")
+
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "_cc_host.cpp")
 _LIB_PATH = os.path.join(_HERE, "_cc_host.so")
@@ -293,7 +299,9 @@ def _small_via_stencil(
     return small_px & fg
 
 
-def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
+def small_components_jax(
+    masks: jnp.ndarray, max_area: float, mode: Optional[str] = None
+) -> jnp.ndarray:
     """Exact mask of pixels belonging to connected components with area
     <= max_area, using a FIXED number of propagation rounds (hot-path
     replacement for full CC inside the per-frame step).
@@ -335,8 +343,10 @@ def small_components_jax(masks: jnp.ndarray, max_area: float) -> jnp.ndarray:
     # 0.24 ms/frame vs histogram 2.06 — stencil wins by ~9x at the default
     # fill_hole_area=8 and stays ahead until its quadratic tap count
     # catches up (~a=24 extrapolated), so it is the default for a <= 16.
-    # DET_SAM2_CC_HIST=stencil|bf16|bf16x1|int8 forces a path for re-A/Bs.
-    mode_s = os.environ.get("DET_SAM2_CC_HIST", "")
+    # mode=stencil|bf16|bf16x1|int8 forces a path for re-A/Bs (defaults to
+    # the import-time DET_SAM2_CC_HIST env value; the env is NOT re-read
+    # here — mid-process toggles after a jit trace would be silent no-ops).
+    mode_s = _CC_HIST_MODE if mode is None else mode
     if mode_s == "stencil" or (mode_s == "" and a <= 16):
         return _small_via_stencil(fg, labels, changed, max_area, a)
     if mode_s == "":

@@ -1,6 +1,6 @@
 """On-chip A/B of the fill-holes CC histogram forms (DET_SAM2_CC_HIST).
 
-Run one mode per process (the mode is read at trace time):
+Run one mode per process (the env is read ONCE at module import):
     python examples/ab_cc_hist.py int8     # current single-dot int8
     python examples/ab_cc_hist.py bf16     # round-2 two-dot bf16 (2876cdc^)
     python examples/ab_cc_hist.py bf16x1   # bf16 single-dot, width-2w V

@@ -122,33 +122,26 @@ def test_fill_holes_device_adversarial_vs_host():
 
 
 def test_small_components_stencil_matches_hist():
-    """The bounded-displacement stencil path (DET_SAM2_CC_HIST=stencil)
-    must be bit-identical to the histogram path and to host CC across
-    densities (sparse speckle -> near-solid)."""
-    import os
-
+    """The bounded-displacement stencil path (mode="stencil") must be
+    bit-identical to the histogram path and to host CC across densities
+    (sparse speckle -> near-solid). Modes are selected via the explicit
+    argument — the env override is import-time-only by design."""
     from det_sam2_tpu.ops.connected_components import small_components_jax
 
     rng = np.random.default_rng(3)
-    prev = os.environ.get("DET_SAM2_CC_HIST")
-    try:
-        for p in (0.05, 0.35, 0.6, 0.9):
-            m = rng.random((2, 48, 64)) < p
-            for area in (8.0, 20.0):  # a=8 (stencil default), a=20 (hist)
-                os.environ["DET_SAM2_CC_HIST"] = "bf16"
-                ref = np.asarray(small_components_jax(jnp.asarray(m), area))
-                os.environ["DET_SAM2_CC_HIST"] = "stencil"
-                got = np.asarray(small_components_jax(jnp.asarray(m), area))
-                np.testing.assert_array_equal(got, ref)
-                os.environ.pop("DET_SAM2_CC_HIST", None)  # auto path
-                auto = np.asarray(small_components_jax(jnp.asarray(m), area))
-                np.testing.assert_array_equal(auto, ref)
-                labels, areas = get_connected_components_np(m)
-                np.testing.assert_array_equal(
-                    got, (labels > 0) & (areas <= area)
-                )
-    finally:
-        if prev is None:
-            os.environ.pop("DET_SAM2_CC_HIST", None)
-        else:
-            os.environ["DET_SAM2_CC_HIST"] = prev
+    for p in (0.05, 0.35, 0.6, 0.9):
+        m = rng.random((2, 48, 64)) < p
+        for area in (8.0, 20.0):  # a=8 (stencil default), a=20 (hist)
+            ref = np.asarray(
+                small_components_jax(jnp.asarray(m), area, mode="bf16")
+            )
+            got = np.asarray(
+                small_components_jax(jnp.asarray(m), area, mode="stencil")
+            )
+            np.testing.assert_array_equal(got, ref)
+            auto = np.asarray(small_components_jax(jnp.asarray(m), area))
+            np.testing.assert_array_equal(auto, ref)
+            labels, areas = get_connected_components_np(m)
+            np.testing.assert_array_equal(
+                got, (labels > 0) & (areas <= area)
+            )
