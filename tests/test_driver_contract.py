@@ -36,6 +36,10 @@ def test_graft_entry_constructs():
     params, img, bank, frame_idx, num_frames, obj_valid = args
     assert img.shape[-1] == 3
     assert bank.num_objects == 2
+    # the contract must attest the PRODUCTION path: banked-attention
+    # caches present, so the trace goes through the bank-indirect kernel
+    # (the TPU default behind every BENCH number), not the dense gather
+    assert bank.mem_k is not None and bank.mem_v is not None
     # the driver compile-checks fn(*args); tracing must succeed with the
     # example args EXACTLY as given (round-3 regression: a new body arg
     # not threaded through entry() broke the call signature)
