@@ -92,6 +92,60 @@ def test_soak_flat_memory():
 
 
 @pytest.mark.slow
+def test_soak_banked_bank_static():
+    """Banked-mode flatness: with the bank-indirect caches live (mem_k/
+    mem_v — the TPU production default and the largest static allocations
+    in the framework), a long stream through the production scan path must
+    keep every bank leaf's shape and byte count BIT-CONSTANT. The on-chip
+    companion (examples/soak_banked.py, hiera-L 1024^2 8-obj) asserts the
+    same over device memory; this covers the invariant on the CI mesh."""
+    import jax
+    import jax.numpy as jnp
+
+    from det_sam2_tpu.state import init_bank
+
+    cfg = tiny_test_config(cond_bank_size=1)  # ptr tokens fit staging tile
+    engine = SAM2Engine(cfg)
+    nl = cfg.memory_attention.num_layers
+    bank = init_bank(cfg, num_objects=2, banked_layers=nl)
+    rng = np.random.default_rng(0)
+    s = cfg.image_size
+    img = jnp.asarray(rng.integers(0, 255, (1, s, s, 3)).astype(np.uint8))
+    feats = engine.encode_image(img)
+    boxes = jnp.asarray(
+        [[[8.0, 10.0], [60.0, 70.0]], [[40.0, 30.0], [100.0, 110.0]]],
+        jnp.float32,
+    )
+    labels = jnp.asarray([[2, 3], [2, 3]], jnp.int32)
+    out = engine.prompt_step(feats, bank, 0, 10**6, boxes, labels,
+                             is_init=True)
+    bank = engine.encode_cond_memory(
+        feats, bank, 0, out["pred_masks"], out["object_score_logits"],
+        out["obj_ptr"],
+    )
+    assert bank.mem_k is not None
+
+    def leaf_sizes(b):
+        return [
+            (getattr(x, "shape", None), getattr(x, "nbytes", 0))
+            for x in jax.tree_util.tree_leaves(b)
+        ]
+
+    window = 8
+    frames = rng.integers(0, 255, (window, s, s, 3)).astype(np.uint8)
+    skips = np.zeros(window, bool)
+    base = leaf_sizes(bank)
+    for w in range(6):  # 48 frames: several full ring-buffer wraps
+        fi = np.arange(1 + w * window, 1 + (w + 1) * window, dtype=np.int32)
+        bank, outs = engine.propagate_window(
+            jnp.asarray(frames), bank, fi, skips, 10**6
+        )
+        assert bank.mem_k is not None  # caches never silently dropped
+        assert leaf_sizes(bank) == base  # bit-constant footprint
+    assert np.isfinite(np.asarray(outs[0], np.float32)).all()
+
+
+@pytest.mark.slow
 @pytest.mark.skipif(
     os.environ.get("SOAK_DEVICE") != "1",
     reason="on-chip soak is opt-in (SOAK_DEVICE=1); needs the real TPU",
