@@ -20,8 +20,11 @@ the benchmark into a tunnel-bandwidth test. The metric is propagation
 compute throughput.
 """
 
+import argparse
 import json
 import os
+import subprocess
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
@@ -183,7 +186,7 @@ def bench_mose_train_step() -> dict:
     }
 
 
-def main():
+def run_propagate_benches():
     for name, cfg_fn in (("hiera_s", sam2_1_hiera_s), ("hiera_l", sam2_1_hiera_l)):
         for size in (768, 1024):
             fps = bench_model(with_image_size(cfg_fn(), size))
@@ -216,7 +219,73 @@ def main():
         ),
         flush=True,
     )
+
+
+def run_scaling_benches(model: str = "hiera_l", size: int = 768):
+    """Object-count scaling sweep (1/2/4/8) — the README table generator.
+    Not part of the default driver run (time budget)."""
+    cfg_fn = {"hiera_s": sam2_1_hiera_s, "hiera_l": sam2_1_hiera_l}[model]
+    for n in (1, 2, 4, 8):
+        fps = bench_model(with_image_size(cfg_fn(), size), num_objects=n)
+        print(
+            json.dumps(
+                {
+                    "metric": f"propagate_fps_{model}_{size}_{n}obj",
+                    "value": round(fps, 2),
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round(fps / BASELINE_FPS, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+def _run_section_subprocess(section: str, timeout_s: int):
+    """Run one training section in a FRESH process and forward its JSON
+    lines. Isolation is the point: round 4's MOSE-shape step compiled and
+    ran standalone (1238 ms/step) but hit RESOURCE_EXHAUSTED inside the
+    full bench process — the propagate benches' live HBM buffers plus a
+    T=8 1024^2 backward don't coexist on a 16 GB chip — and its
+    compile+OOM-retry time consumed the driver budget (BENCH_r04 rc=124).
+    A child OOM/timeout here costs its section, never the whole record."""
     try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--section", section],
+            capture_output=True, text=True, timeout=timeout_s,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        emitted = False
+        for line in res.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+                emitted = True
+        if not emitted:
+            tail = (res.stderr or res.stdout or "").strip().splitlines()
+            print(
+                f"# section {section} produced no metric (rc={res.returncode}): "
+                + "; ".join(tail[-3:]),
+                flush=True,
+            )
+    except subprocess.TimeoutExpired:
+        print(f"# section {section} timed out after {timeout_s}s", flush=True)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--section",
+        choices=["all", "propagate", "train_s", "mose", "scaling"],
+        default="all",
+    )
+    ap.add_argument("--model", default="hiera_l", help="scaling sweep model")
+    ap.add_argument("--size", type=int, default=768, help="scaling sweep size")
+    args = ap.parse_args(argv)
+
+    if args.section in ("all", "propagate"):
+        run_propagate_benches()
+    if args.section == "scaling":
+        run_scaling_benches(args.model, args.size)
+    if args.section == "train_s":
         ms = bench_train_step()
         print(
             json.dumps(
@@ -229,12 +298,14 @@ def main():
             ),
             flush=True,
         )
-    except Exception as e:  # never let the training metric break the bench
-        print(f"# train-step bench skipped: {e}", flush=True)
-    try:
+    if args.section == "mose":
         print(json.dumps(bench_mose_train_step()), flush=True)
-    except Exception as e:  # HBM ceiling or tunnel flake must not kill bench
-        print(f"# MOSE-shape train-step bench skipped: {e}", flush=True)
+    if args.section == "all":
+        # training sections in fresh processes: frees this process's HBM,
+        # bounds each section's time, and reuses the persistent compilation
+        # cache (JAX_COMPILATION_CACHE_DIR) so warm runs take seconds
+        _run_section_subprocess("train_s", timeout_s=600)
+        _run_section_subprocess("mose", timeout_s=900)
 
 
 if __name__ == "__main__":
