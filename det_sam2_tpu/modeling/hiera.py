@@ -23,6 +23,7 @@ from typing import Callable, List, Optional, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from det_sam2_tpu.configs import HieraConfig
 from det_sam2_tpu.modeling.layers import (
@@ -42,7 +43,8 @@ from det_sam2_tpu.ops import quant
 from det_sam2_tpu.utils.resize import resize_nhwc, resize_weights
 
 # Read ONCE at import (baked into jit traces; see PatchEmbed docstring).
-_PE_S2D = os.environ.get("DET_SAM2_PE_S2D", "1") != "0"
+# "0" canonical strided conv | "1" width-only s2d (default) | "2" two-axis
+_PE_S2D_MODE = os.environ.get("DET_SAM2_PE_S2D", "1")
 
 
 def window_partition(x: jnp.ndarray, ws: int) -> Tuple[jnp.ndarray, Tuple[int, int]]:
@@ -85,11 +87,17 @@ class PatchEmbed(nn.Module):
     ~1.3 ms/frame at 1024^2 on v5e (2% lane utilization + an im2col layout
     copy — profiled as the 2nd-largest op in the whole streaming step).
     When H, W divide the stride and the taps span two stride cells
-    (p <= s, k-1-p < s — true for the 7/4/3 default), the conv runs as a
-    dense 2x2 conv on the space-to-depth layout ([H/4, W/4, 48] -> 144),
-    an exact rearrangement (see layers.s2d_stage). DET_SAM2_PE_S2D=0
-    (read ONCE at import — a post-compile toggle would be a silent no-op)
-    forces the canonical conv."""
+    (p <= s, k-1-p < s — true for the 7/4/3 default), the conv runs in a
+    WIDTH-only space-to-depth layout: [B, H, W/4, 4*3] is a pure reshape
+    of the frame (the width phase and channel are already minor-
+    contiguous, so it moves NO bytes — the full 2-axis s2d transpose
+    interleaved 12-byte atoms and cost 0.76 ms/frame at 1024^2 in the
+    round-5 trace), the width taps collapse to 2 cells, and the height
+    taps stay REAL conv taps at stride 4: kernel [7, 2, 12, embed] with
+    exactly rearranged weights. DET_SAM2_PE_S2D=0 (read ONCE at import —
+    a post-compile toggle would be a silent no-op) forces the canonical
+    conv; =2 forces the round-4 two-axis s2d_stage form (kept for A/Bs;
+    both measured slower on v5e)."""
 
     embed_dim: int
     kernel: int = 7
@@ -104,7 +112,7 @@ class PatchEmbed(nn.Module):
         b, h, w, cin = x.shape
         fast = (
             h % s == 0 and w % s == 0 and p <= s and (k - 1 - p) < s
-            and _PE_S2D
+            and _PE_S2D_MODE != "0"
         )
         raw = x.dtype == jnp.uint8
         if not fast:
@@ -122,17 +130,45 @@ class PatchEmbed(nn.Module):
                 name="proj",
             )(x)
         kernel, bias = ConvParams((k, k, cin, self.embed_dim), name="proj")()
-        xs = s2d_split(x, s)  # uint8: a 1-byte/px transpose, 4x cheaper
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32)
+        if _PE_S2D_MODE == "2":
+            xs = s2d_split(x, s)  # 2-axis split: a 12-byte-atom transpose
+            if raw:
+                # normalization is per-channel affine -> apply AFTER the
+                # split (padding with zeros happens after normalize in the
+                # reference, and s2d_stage's cell padding does too: exact)
+                a = jnp.tile(1.0 / (255.0 * std), s * s).astype(self.dtype)
+                bb = jnp.tile(-mean / std, s * s).astype(self.dtype)
+                xs = xs.astype(self.dtype) * a + bb
+            return s2d_stage(xs, kernel, bias, 1, self.dtype, s=s, p=p)
+        # width-only s2d: [B, H, W/s, s*cin] is a PURE RESHAPE of the frame
+        # (width phase px and channel c are already minor-contiguous); the
+        # width taps collapse to 2 cells (pad left 1, none right) and the
+        # height taps stay real stride-s conv taps. The kernel placement:
+        # col = s*wo + dx - p lands in cell wq = wo + dwq - 1 with phase
+        # px = dx - p + s*(1 - dwq), so dx < p -> (dwq=0, px=dx+s-p) and
+        # dx >= p -> (dwq=1, px=dx-p); exact for p <= s, k-1-p < s.
+        xs = x.reshape(b, h, w // s, s * cin)
         if raw:
-            # normalization is per-channel affine -> apply AFTER the split
-            # (padding with zeros happens after normalize in the reference,
-            # and s2d_stage's cell padding does too: exact)
-            mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)
-            std = jnp.asarray(IMAGENET_STD, jnp.float32)
-            a = jnp.tile(1.0 / (255.0 * std), s * s).astype(self.dtype)
-            bb = jnp.tile(-mean / std, s * s).astype(self.dtype)
+            a = jnp.tile(1.0 / (255.0 * std), s).astype(self.dtype)
+            bb = jnp.tile(-mean / std, s).astype(self.dtype)
             xs = xs.astype(self.dtype) * a + bb
-        return s2d_stage(xs, kernel, bias, 1, self.dtype, s=s, p=p)
+        else:
+            xs = xs.astype(self.dtype)
+        r2 = np.zeros((k, 2, s), np.float32)
+        for dx in range(k):
+            dwq = 0 if dx < p else 1
+            r2[dx, dwq, dx - p + s * (1 - dwq)] = 1.0
+        w2 = jnp.einsum(
+            "xwp,yxcf->ywpcf", jnp.asarray(r2), kernel.astype(jnp.float32)
+        ).reshape(k, 2, s * cin, self.embed_dim)
+        out = jax.lax.conv_general_dilated(
+            xs, w2.astype(self.dtype),
+            window_strides=(s, 1), padding=((p, p), (1, 0)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(self.dtype)
 
 
 class QKVProj(nn.Module):

@@ -30,8 +30,11 @@ REPS = 30
 
 def setup(cfg):
     engine = SAM2Engine(cfg, dtype=jnp.bfloat16)
+    # banked_layers follows the engine default so traces show the
+    # PRODUCTION path (bank-indirect kernel on TPU, gather on CPU)
     bank = init_bank(cfg, num_objects=NUM_OBJECTS, dtype=jnp.bfloat16,
-                     attend_cond_tiles=1)
+                     attend_cond_tiles=1,
+                     banked_layers=engine.banked_layers)
     rng = np.random.default_rng(0)
     size = cfg.image_size
     img = jnp.asarray(rng.standard_normal((1, size, size, 3)), jnp.float32)

@@ -110,3 +110,36 @@ def test_fpn_neck_matches_reference():
         np.testing.assert_allclose(
             np.asarray(g).transpose(0, 3, 1, 2), w.numpy(), rtol=1e-4, atol=1e-4
         )
+
+
+def test_patch_embed_modes_agree(monkeypatch):
+    """The three PatchEmbed lowerings — canonical strided conv ("0"),
+    width-only s2d ("1", default), two-axis s2d ("2") — must agree on
+    both raw uint8 frames (fused ImageNet normalize) and pre-normalized
+    float inputs. The mode constant is import-time; tests monkeypatch the
+    module attribute and apply the module untraced."""
+    import det_sam2_tpu.modeling.hiera as hiera_mod
+    from det_sam2_tpu.modeling.hiera import PatchEmbed
+
+    rng = np.random.default_rng(0)
+    u8 = jnp.asarray(rng.integers(0, 255, (1, 32, 32, 3)).astype(np.uint8))
+    mean = jnp.asarray(hiera_mod.IMAGENET_MEAN)
+    std = jnp.asarray(hiera_mod.IMAGENET_STD)
+    f32 = (u8.astype(jnp.float32) / 255.0 - mean) / std
+
+    pe = PatchEmbed(embed_dim=48)
+    params = pe.init(jax.random.PRNGKey(0), f32)
+
+    outs = {}
+    for mode in ("0", "1", "2"):
+        monkeypatch.setattr(hiera_mod, "_PE_S2D_MODE", mode)
+        outs[mode] = (
+            np.asarray(pe.apply(params, u8), np.float32),
+            np.asarray(pe.apply(params, f32), np.float32),
+        )
+    for mode in ("1", "2"):
+        for i, (got, ref) in enumerate(zip(outs[mode], outs["0"])):
+            np.testing.assert_allclose(
+                got, ref, atol=2e-5, rtol=2e-5,
+                err_msg=f"mode {mode} input {i}",
+            )
