@@ -24,6 +24,43 @@ import numpy as np
 
 logger = logging.getLogger("det_sam2_tpu.launch")
 
+# Exit code the Trainer raises after its SIGTERM checkpoint (SystemExit
+# 143 in trainer.run); the supervisor treats it as "requeue me".
+REQUEUE_EXIT_CODE = 143
+
+
+def supervise(
+    cmd: Sequence[str],
+    max_requeues: int = 16,
+    env: Optional[dict] = None,
+) -> int:
+    """Scheduler-agnostic requeue supervisor — the TPU-VM analogue of the
+    reference's SubmititRunner (training/train.py:68-103), whose job is
+    to RESUBMIT the training job after a preemption so the trainer
+    resumes from its last checkpoint. On SLURM that is scontrol requeue;
+    on TPU VMs / GKE a maintenance event lands as SIGTERM, the trainer
+    checkpoints and exits REQUEUE_EXIT_CODE (trainer.py checkpoint_on_
+    sigterm), and this loop relaunches the command — auto_resume picks up
+    the checkpoint. Any other exit code (success or real failure) is
+    final. Returns the final exit code."""
+    import subprocess
+
+    requeues = 0
+    while True:
+        rc = subprocess.call(list(cmd), env=env)
+        if rc != REQUEUE_EXIT_CODE:
+            return rc
+        requeues += 1
+        if requeues > max_requeues:
+            logger.error(
+                "requeue budget exhausted (%d); giving up", max_requeues
+            )
+            return rc
+        logger.warning(
+            "preemption exit (%d): requeue %d/%d",
+            rc, requeues, max_requeues,
+        )
+
 
 def init_distributed(
     coordinator_address: Optional[str] = None,
@@ -117,7 +154,30 @@ def main(argv: Optional[Sequence[str]] = None) -> None:
     p.add_argument("--coordinator-address", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument(
+        "--supervise", type=int, default=0, metavar="N",
+        help="run under the requeue supervisor: relaunch this command up "
+        "to N times while it exits with the preemption code "
+        f"({REQUEUE_EXIT_CODE}) — the SubmititRunner-requeue analogue",
+    )
     args = p.parse_args(argv)
+
+    if args.supervise:
+        import sys
+
+        rest = list(argv) if argv is not None else sys.argv[1:]
+        # strip the flag so children train instead of supervising
+        rest = [
+            a for i, a in enumerate(rest)
+            if not (
+                a.startswith("--supervise")
+                or (i > 0 and rest[i - 1] == "--supervise")
+            )
+        ]
+        raise SystemExit(supervise(
+            [sys.executable, "-m", "det_sam2_tpu.training.launch", *rest],
+            max_requeues=args.supervise,
+        ))
 
     pid, pcount = init_distributed(
         args.coordinator_address, args.num_processes, args.process_id

@@ -189,3 +189,36 @@ def test_two_process_distributed_cpu(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"worker {i} ok" in out
+
+
+def test_supervise_requeues_until_clean_exit(tmp_path):
+    """The requeue supervisor (the SubmititRunner analogue) must relaunch
+    the command while it exits with the preemption code (143 — what the
+    trainer raises after its SIGTERM checkpoint) and stop on a clean
+    exit, and must respect the requeue budget."""
+    import sys
+    import textwrap
+
+    from det_sam2_tpu.training.launch import REQUEUE_EXIT_CODE, supervise
+
+    counter = tmp_path / "launches"
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import pathlib, sys
+        p = pathlib.Path({str(counter)!r})
+        n = int(p.read_text()) if p.exists() else 0
+        p.write_text(str(n + 1))
+        sys.exit({REQUEUE_EXIT_CODE} if n < 2 else 0)
+    """))
+    rc = supervise([sys.executable, str(child)], max_requeues=5)
+    assert rc == 0
+    assert counter.read_text() == "3"  # 2 preemptions + 1 clean run
+
+    # budget exhaustion: always-preempted child gives up with code 143
+    counter.unlink()
+    always = tmp_path / "always.py"
+    always.write_text(
+        f"import sys; sys.exit({REQUEUE_EXIT_CODE})"
+    )
+    rc = supervise([sys.executable, str(always)], max_requeues=2)
+    assert rc == REQUEUE_EXIT_CODE
