@@ -37,8 +37,11 @@ def main():
         image_size=args.size,
     )
     cfg = engine.cfg
+    # banked_layers follows the engine default so the A/B measures the
+    # PRODUCTION path (bank-indirect kernel on TPU) on both sides
     bank = init_bank(cfg, num_objects=2, dtype=jnp.bfloat16,
-                     attend_cond_tiles=1)
+                     attend_cond_tiles=1,
+                     banked_layers=engine.banked_layers)
 
     rng = np.random.default_rng(0)
     size = cfg.image_size
