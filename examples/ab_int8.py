@@ -11,8 +11,10 @@ build_sam2_engine so the int8 path is exactly the serving --int8 flag's.
 import argparse
 import json
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.cache/jax")
 
 import jax
