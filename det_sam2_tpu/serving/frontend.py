@@ -246,14 +246,22 @@ async function clickPoint(ev, label){
   const x = (ev.clientX - rect.left) / rect.width * VW;
   const y = (ev.clientY - rect.top) / rect.height * VH;
   const frameIndex = curFrame();
-  (POINTS[ACTIVE][frameIndex] ||= []).push([x, y, label]);
+  const obj = ACTIVE;
+  (POINTS[obj][frameIndex] ||= []).push([x, y, label]);
   render();  // marker feedback before the round-trip
-  const d = await gql(
-    "mutation($i: AddPointsInput!) { addPoints(input: $i) { frameIndex " +
-    "rleMaskList { objectId rleMask { size counts } } } }",
-    {i: {sessionId: SID, frameIndex, objectId: ACTIVE,
-         points: [[x, y]], labels: [label], clearOldPoints: false}});
-  MASKS[frameIndex] = d.addPoints.rleMaskList;
+  try {
+    const d = await gql(
+      "mutation($i: AddPointsInput!) { addPoints(input: $i) { frameIndex " +
+      "rleMaskList { objectId rleMask { size counts } } } }",
+      {i: {sessionId: SID, frameIndex, objectId: obj,
+           points: [[x, y]], labels: [label], clearOldPoints: false}});
+    MASKS[frameIndex] = d.addPoints.rleMaskList;
+  } catch (e) {
+    // the server never saw this prompt: take the optimistic marker back
+    const pts = (POINTS[obj] || {})[frameIndex];
+    if (pts) pts.pop();
+    log("add point failed: " + e);
+  }
   render();
 }
 function decodeRLE(rle){  // column-major uncompressed counts
@@ -316,7 +324,9 @@ function render(){
   const live = new Set(OBJECTS.map(o => o.id));
   for (const item of list){
     if (!live.has(item.objectId)) continue;
-    const {fill, edge} = maskCanvas(item.rleMask);
+    // mask items are replaced wholesale on update, so the decoded
+    // canvases cached on the item can never go stale
+    const {fill, edge} = (item._mc ||= maskCanvas(item.rleMask));
     // 2. foreground keeps ORIGINAL pixels inside the mask
     if (bg !== "original"){
       const fgc = document.createElement("canvas");
@@ -355,30 +365,38 @@ function render(){
 async function propagate(){
   if (!SID) return log("start a session first");
   log("tracking…");
-  const r = await fetch("/propagate_in_video", {method: "POST",
-    headers: {"Content-Type": "application/json"},
-    body: JSON.stringify({session_id: SID})});
-  const reader = r.body.getReader();
-  const dec = new TextDecoder();
-  let buf = "", n = 0;
-  for (;;){
-    const {done, value} = await reader.read();
-    if (done) break;
-    buf += dec.decode(value, {stream: true});
-    let nl;
-    while ((nl = buf.indexOf("\n")) >= 0){
-      const line = buf.slice(0, nl); buf = buf.slice(nl + 1);
-      if (!line.trim()) continue;
-      const item = JSON.parse(line);
-      MASKS[item.frame_index] = item.results.map(x =>
-        ({objectId: x.object_id, rleMask: x.mask}));
-      n++;
-      if (n % 5 === 0 || item.frame_index === NFRAMES - 1) {
-        seek(item.frame_index);
+  let n = 0, last = -1, shown = -1;
+  try {
+    const r = await fetch("/propagate_in_video", {method: "POST",
+      headers: {"Content-Type": "application/json"},
+      body: JSON.stringify({session_id: SID})});
+    const reader = r.body.getReader();
+    const dec = new TextDecoder();
+    let buf = "";
+    for (;;){
+      const {done, value} = await reader.read();
+      if (done) break;
+      buf += dec.decode(value, {stream: true});
+      let nl;
+      while ((nl = buf.indexOf("\n")) >= 0){
+        const line = buf.slice(0, nl); buf = buf.slice(nl + 1);
+        if (!line.trim()) continue;
+        const item = JSON.parse(line);
+        MASKS[item.frame_index] = item.results.map(x =>
+          ({objectId: x.object_id, rleMask: x.mask}));
+        last = item.frame_index;
+        n++;
+        if (n % 5 === 0){ seek(last); shown = last; }
       }
     }
+    log(`tracking done: ${n} frames cached — scrub or play to review`);
+  } catch (e) {
+    log(`tracking failed after ${n} frames: ` + e);
+  } finally {
+    // show the last tracked frame even when the window ends off-stride
+    // or the stream dies mid-way
+    if (last >= 0 && last !== shown) seek(last);
   }
-  log(`tracking done: ${n} frames cached — scrub or play to review`);
 }
 async function cancelProp(){
   await gql("mutation($i: CancelPropagateInVideoInput!) { " +

@@ -34,11 +34,15 @@ from typing import Tuple
 import flax.struct
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from det_sam2_tpu.configs import SAM2Config
 
-INVALID = jnp.int32(-1)
-_FAR = jnp.int32(2**30)
+# np scalars, NOT jnp: a module-level jnp constant commits to the device
+# at import time, so merely importing the package would hang when the
+# accelerator is unreachable (observed with the tunneled TPU down).
+INVALID = np.int32(-1)
+_FAR = np.int32(2**30)
 
 
 @flax.struct.dataclass

@@ -135,7 +135,12 @@ class DistributedDataLoader:
 def main(argv: Optional[Sequence[str]] = None) -> None:
     """CLI: mirrors the reference launcher's surface (train.py) with
     jax-native flags. The dataset root uses the MOSE/DAVIS layout."""
-    p = argparse.ArgumentParser(description="det_sam2_tpu multi-host trainer")
+    # allow_abbrev=False: the supervisor relaunch strips the literal
+    # "--supervise" token from child argv; an abbreviated form (--su 3)
+    # would survive the strip and recurse into a supervisor chain.
+    p = argparse.ArgumentParser(
+        description="det_sam2_tpu multi-host trainer", allow_abbrev=False
+    )
     p.add_argument("--img-folder", required=True)
     p.add_argument("--gt-folder", required=True)
     p.add_argument("--model", default="hiera_b+", choices=["hiera_t", "hiera_s", "hiera_b+", "hiera_l"])

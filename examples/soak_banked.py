@@ -44,6 +44,12 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--objects", type=int, default=8)
     args = ap.parse_args()
+    if args.frames < 3 * WINDOW:
+        ap.error(
+            f"frames must be >= {3 * WINDOW}: flatness is judged on the "
+            f"samples AFTER the first window (one sample per {WINDOW} "
+            "frames, >=2 required)"
+        )
 
     cfg_fn = {"hiera_s": sam2_1_hiera_s, "hiera_l": sam2_1_hiera_l}[args.model]
     cfg = with_image_size(cfg_fn(), args.size)
@@ -66,6 +72,8 @@ def main():
     s = cfg.image_size
     img = jnp.asarray(rng.standard_normal((1, s, s, 3)), jnp.float32)
     feats = engine.encode_image(img)
+    # prompt grid mirrors bench.py bench_model so the soak exercises the
+    # exact benchmarked configuration — keep the two in sync
     box_np = np.empty((args.objects, 2, 2), np.float32)
     for o in range(args.objects):
         x0 = 60.0 + 83.0 * o
