@@ -232,6 +232,19 @@ class GraphQLAPI:
             prefix="det_sam2_uploads_"
         )
         os.makedirs(self.uploads_dir, exist_ok=True)
+        # upload-normalization knobs, env-configured like the reference
+        # container (docker-compose.yaml: VIDEO_ENCODE_FPS /
+        # VIDEO_ENCODE_MAX_WIDTH / VIDEO_ENCODE_MAX_HEIGHT feed
+        # data/transcoder.py). Instance attrs (not import-time) so a
+        # restarted server — or a test — picks up the current env.
+        self.encode_fps = float(os.environ.get("VIDEO_ENCODE_FPS", "24"))
+        self.encode_max_w = int(
+            os.environ.get("VIDEO_ENCODE_MAX_WIDTH", "1280"))
+        self.encode_max_h = int(
+            os.environ.get("VIDEO_ENCODE_MAX_HEIGHT", "1280"))
+        # reference: DEFAULT_VIDEO_PATH names the gallery item the UI
+        # opens first (app_conf.py), relative to the data root
+        self.default_video_path = os.environ.get("DEFAULT_VIDEO_PATH")
 
     # -- gallery ---------------------------------------------------------
 
@@ -263,6 +276,13 @@ class GraphQLAPI:
         paths = self._gallery_paths()
         if not paths:
             raise ValueError("gallery is empty")
+        if self.default_video_path:
+            want = self.default_video_path
+            for p in paths:
+                # match an exact path or a data-root-relative suffix like
+                # the reference's "gallery/05_default_juggle.mp4"
+                if p == want or p.endswith(os.sep + os.path.basename(want)):
+                    return self._video_info(p)
         return self._video_info(paths[0])
 
     def videos(self, args: dict) -> dict:
@@ -292,6 +312,9 @@ class GraphQLAPI:
                           or self.MAX_UPLOAD_DURATION),
                     self.MAX_UPLOAD_DURATION,
                 ),
+                max_w=self.encode_max_w,
+                max_h=self.encode_max_h,
+                fps=self.encode_fps,
             )
         finally:
             os.unlink(raw)

@@ -252,6 +252,40 @@ def serve(api: InferenceAPI, host: str = "0.0.0.0", port: int = 7263,
     server.serve_forever()
 
 
+# The reference container configures the backend entirely through env vars
+# (docker-compose.yaml: MODEL_SIZE, GUNICORN_PORT, DATA_PATH,
+# DEFAULT_VIDEO_PATH). Accept both its MODEL_SIZE vocabulary and ours.
+_MODEL_SIZE_ALIASES = {
+    "tiny": "hiera_t", "small": "hiera_s",
+    "base_plus": "hiera_b+", "large": "hiera_l",
+}
+
+
+def env_config(environ=None) -> dict:
+    """Resolve serving defaults from the container environment (the
+    deploy/ recipes set these; CLI flags still win). Mirrors the reference
+    backend's env surface (backend.Dockerfile:7-16, docker-compose.yaml
+    environment block): MODEL_SIZE, CHECKPOINT_PATH, SERVER_PORT (alias
+    GUNICORN_PORT), DATA_PATH (gallery/ + uploads/ subdirs, the compose
+    file's /data mount), GALLERY_PATH / UPLOADS_PATH overrides."""
+    env = os.environ if environ is None else environ
+    model = env.get("MODEL_SIZE", "hiera_s")
+    model = _MODEL_SIZE_ALIASES.get(model, model)
+    data = env.get("DATA_PATH")
+    gallery = env.get("GALLERY_PATH") or (
+        os.path.join(data, "gallery") if data else None)
+    uploads = env.get("UPLOADS_PATH") or (
+        os.path.join(data, "uploads") if data else None)
+    return {
+        "model": model,
+        "checkpoint": env.get("CHECKPOINT_PATH") or None,
+        "port": int(env.get("SERVER_PORT") or env.get("GUNICORN_PORT")
+                    or 7263),
+        "gallery": gallery,
+        "uploads": uploads,
+    }
+
+
 def main():  # pragma: no cover
     import argparse
 
@@ -261,13 +295,15 @@ def main():  # pragma: no cover
     from det_sam2_tpu.configs import MODEL_CONFIGS
     from det_sam2_tpu.video_predictor import SAM2VideoPredictor
 
+    defaults = env_config()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="hiera_s", choices=MODEL_CONFIGS)
-    ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--port", type=int, default=7263)
-    ap.add_argument("--gallery", default=None,
+    ap.add_argument("--model", default=defaults["model"],
+                    choices=MODEL_CONFIGS)
+    ap.add_argument("--checkpoint", default=defaults["checkpoint"])
+    ap.add_argument("--port", type=int, default=defaults["port"])
+    ap.add_argument("--gallery", default=defaults["gallery"],
                     help="directory of mp4s for the demo gallery")
-    ap.add_argument("--uploads", default=None,
+    ap.add_argument("--uploads", default=defaults["uploads"],
                     help="directory for uploaded/transcoded videos")
     ap.add_argument("--int8", action="store_true",
                     help="serve with the W8A8 int8 trunk (ops/quant.py)")

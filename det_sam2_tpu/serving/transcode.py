@@ -38,11 +38,22 @@ def transcode(
     max_seconds: float = 10.0,
     max_dim: int = 1280,
     fps: Optional[float] = 24.0,
+    max_w: Optional[int] = None,
+    max_h: Optional[int] = None,
 ) -> dict:
     """Re-encode to mp4 with duration/resolution caps (the demo's upload
-    guardrails). Returns the output metadata."""
+    guardrails). Returns the output metadata.
+
+    ``max_w``/``max_h`` cap each axis independently (the reference's
+    VIDEO_ENCODE_MAX_WIDTH/HEIGHT semantics, transcoder.py scale filter);
+    when unset both fall back to the single long-side cap ``max_dim``."""
     meta = get_video_metadata(in_path)
-    scale = min(1.0, max_dim / max(meta["width"], meta["height"]))
+    scale = min(
+        1.0,
+        (max_w or max_dim) / meta["width"],
+        (max_h or max_dim) / meta["height"],
+    ) if (max_w or max_h) else min(
+        1.0, max_dim / max(meta["width"], meta["height"]))
     out_w = int(meta["width"] * scale) // 2 * 2
     out_h = int(meta["height"] * scale) // 2 * 2
     out_fps = fps or meta["fps"]

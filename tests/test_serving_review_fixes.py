@@ -56,14 +56,12 @@ def test_video_url_is_percent_encoded(tmp_path, monkeypatch):
 
 
 def test_upload_duration_capped(tmp_path, monkeypatch):
-    gql = GraphQLAPI.__new__(GraphQLAPI)
-    gql.gallery_dir = None
-    gql.uploads_dir = str(tmp_path)
+    gql = GraphQLAPI(api=None, uploads_dir=str(tmp_path))
     seen = {}
 
     import det_sam2_tpu.serving.transcode as tc
 
-    def fake_transcode(raw, out, max_seconds):
+    def fake_transcode(raw, out, max_seconds, **caps):
         seen["max_seconds"] = max_seconds
         with open(out, "wb"):
             pass
