@@ -173,13 +173,19 @@ class MLP(nn.Module):
 class LayerNorm(nn.Module):
     """LayerNorm over the trailing axis with fp32 statistics.
 
-    Variance uses the one-pass form E[x^2] - E[x]^2: the two moment
-    reduces are then INDEPENDENT, so XLA's multi-output fusion computes
-    both in a single sweep over x — the centered two-pass form forces two
-    sequential HBM reads per LN (the round-5 trace measured LN stats at
-    4.3 ms/frame of the hiera-L 1024^2 step with ~96 reduce launches).
-    fp32 accumulation keeps the cancellation error ~1e-6 relative for
-    activation-scale inputs (parity-tested against torch LayerNorm)."""
+    Variance uses the SHIFTED one-pass form: with a per-row constant
+    c = x[..., 0], Var[x] = E[(x-c)^2] - (E[x]-c)^2 exactly, and the two
+    moment reduces (over x-c and (x-c)^2) stay INDEPENDENT, so XLA's
+    multi-output fusion computes both in a single sweep over x — the
+    centered two-pass form forces two sequential HBM reads per LN (the
+    round-5 trace measured LN stats at 4.3 ms/frame of the hiera-L
+    1024^2 step with ~96 reduce launches). The shift bounds the
+    cancellation: the unshifted E[x^2]-E[x]^2 loses ~mean^2 * eps_fp32
+    absolute, which destroys the variance in the |mean| >> std outlier
+    regime pretrained transformers are known to hit; after shifting,
+    both terms are O(std^2 + (mean-c)^2) so the subtraction is benign
+    (pathological-input test in tests/test_hiera.py). The broadcast
+    subtract fuses into the same sweep (VPU op on resident data)."""
 
     eps: float = 1e-6
     dtype: Dtype = jnp.float32
@@ -190,10 +196,15 @@ class LayerNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
         orig_dtype = x.dtype
         x = x.astype(jnp.float32)
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        mean2 = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
-        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
-        x = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        # stop_gradient: the forward value is analytically independent of
+        # c, so treating it as a constant gives the exact gradient with
+        # fewer backward ops.
+        c = jax.lax.stop_gradient(x[..., :1])
+        xc = x - c
+        mean_c = jnp.mean(xc, axis=-1, keepdims=True)
+        mean2_c = jnp.mean(jnp.square(xc), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2_c - jnp.square(mean_c), 0.0)
+        x = (xc - mean_c) * jax.lax.rsqrt(var + self.eps)
         return (x * scale + bias).astype(orig_dtype)
 
 

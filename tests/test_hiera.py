@@ -143,3 +143,26 @@ def test_patch_embed_modes_agree(monkeypatch):
                 got, ref, atol=2e-5, rtol=2e-5,
                 err_msg=f"mode {mode} input {i}",
             )
+
+
+def test_layernorm_large_mean_small_variance():
+    """The one-pass variance must survive the |mean| >> std outlier regime
+    pretrained transformers hit: the UNSHIFTED E[x^2]-E[x]^2 loses
+    ~mean^2 * eps_fp32 absolute (measured 4e2 output error on this input);
+    the shifted form (c = x[..., 0]) keeps both moment terms O(std^2) so
+    the subtraction cannot cancel."""
+    import numpy as np
+
+    from det_sam2_tpu.modeling.layers import LayerNorm
+
+    rng = np.random.default_rng(0)
+    x = (1500.0 + 0.1 * rng.standard_normal((4, 32, 256))).astype(np.float32)
+    ln = LayerNorm()
+    params = ln.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    out = np.asarray(ln.apply(params, jnp.asarray(x)), np.float64)
+
+    xf = x.astype(np.float64)
+    mean = xf.mean(-1, keepdims=True)
+    var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+    ref = (xf - mean) / np.sqrt(var + 1e-6)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
