@@ -47,16 +47,25 @@ WORKDIR ${APP_ROOT}
 COPY det_sam2_tpu ${APP_ROOT}/det_sam2_tpu
 ENV PYTHONPATH=${APP_ROOT}
 
-# fetch the published SAM 2.1 checkpoint for the configured size at build
+# Fetch the published SAM 2.1 checkpoint for the configured size at build
 # time (det_sam2_tpu/tools/download_ckpts.py: same release URLs as the
-# reference's download_ckpts.sh, verified sizes). The symlink gives the
-# server a size-independent path; volume-mount your own file over it (or
-# set CHECKPOINT_PATH) to serve finetuned weights.
-RUN python -m det_sam2_tpu.tools.download_ckpts \
-        --models ${MODEL_SIZE} --out-dir ${APP_ROOT}/checkpoints \
-    && ln -s "$(ls ${APP_ROOT}/checkpoints/*.pt | head -1)" \
-        ${APP_ROOT}/checkpoints/model.pt
-ENV CHECKPOINT_PATH=${APP_ROOT}/checkpoints/model.pt
+# reference's download_ckpts.sh, verified sizes) and convert it to the
+# torch-free native .npz (det_sam2_tpu/convert.py main). torch is needed
+# ONLY for this conversion — install + uninstall inside one layer so the
+# runtime image never carries it (and cannot crash-loop on `import torch`
+# at startup). JAX_PLATFORMS=cpu: no TPU is attached at build time.
+# Volume-mount your own .npz/.pt over the path (or set CHECKPOINT_PATH)
+# to serve finetuned weights — .pt at runtime requires torch in the image.
+RUN pip install --no-cache-dir torch \
+        --index-url https://download.pytorch.org/whl/cpu \
+    && python -m det_sam2_tpu.tools.download_ckpts \
+        --models ${MODEL_SIZE} --out-dir /tmp/ckpts \
+    && mkdir -p ${APP_ROOT}/checkpoints \
+    && JAX_PLATFORMS=cpu python -m det_sam2_tpu.convert \
+        "$(ls /tmp/ckpts/*.pt | head -1)" \
+        ${APP_ROOT}/checkpoints/model.npz --model ${MODEL_SIZE} \
+    && pip uninstall -y torch && rm -rf /tmp/ckpts
+ENV CHECKPOINT_PATH=${APP_ROOT}/checkpoints/model.npz
 
 EXPOSE 7263
 # env_config() in serving/server.py reads MODEL_SIZE / SERVER_PORT /

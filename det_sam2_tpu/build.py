@@ -90,6 +90,10 @@ def _load_params(checkpoint: Optional[str], cfg: SAM2Config):
             {"params": engine.params},
         )
         return restored["params"]
+    if checkpoint.endswith(".npz"):  # torch-free native format
+        from det_sam2_tpu.convert import load_params_npz
+
+        return load_params_npz(checkpoint)
     from det_sam2_tpu.convert import load_torch_checkpoint
 
     return load_torch_checkpoint(checkpoint, cfg)

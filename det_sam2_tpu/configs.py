@@ -282,6 +282,14 @@ MODEL_CONFIGS = {
     "hiera_l": sam2_1_hiera_l,
 }
 
+# The reference's container/config vocabulary for the four sizes
+# (demo/backend MODEL_SIZE, download_ckpts.sh) mapped onto our preset
+# names; shared by serving env_config and the convert CLI.
+MODEL_SIZE_ALIASES = {
+    "tiny": "hiera_t", "small": "hiera_s",
+    "base_plus": "hiera_b+", "large": "hiera_l",
+}
+
 
 def with_image_size(cfg: SAM2Config, size: int) -> SAM2Config:
     """Derive a config at another input resolution (e.g. the reference's

@@ -282,3 +282,96 @@ def load_torch_checkpoint(path: str, cfg) -> Dict:
     ckpt = torch.load(path, map_location="cpu", weights_only=True)
     sd = ckpt["model"] if "model" in ckpt else ckpt
     return convert_sam2_base(sd, cfg)
+
+
+def save_params_npz(params: Dict, path: str) -> None:
+    """Save a flax param pytree as a torch-free native ``.npz`` checkpoint.
+
+    Keys are '/'-joined tree paths. Non-builtin numpy dtypes (bfloat16 via
+    ml_dtypes) aren't portable through np.savez without pickle, so those
+    arrays are widened to fp32 and the original dtype recorded under the
+    reserved ``__dtypes__`` key (restored on load). This is the deployment
+    format: a serving container can load it without torch installed
+    (deploy/backend.Dockerfile converts at build time and ships only this).
+    """
+    import json
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(prefix: str, node) -> None:
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", params)
+    dtypes: Dict[str, str] = {}
+    arrays: Dict[str, np.ndarray] = {}
+    for k, v in flat.items():
+        if "__dtypes__" in k:
+            raise ValueError(f"reserved key in param tree: {k!r}")
+        if v.dtype.isbuiltin != 1:  # ml_dtypes (bfloat16, fp8, ...): 2
+            dtypes[k] = str(v.dtype)
+            v = v.astype(np.float32)
+        arrays[k] = v
+    arrays["__dtypes__"] = np.asarray(json.dumps(dtypes))
+    np.savez(path, **arrays)
+
+
+def load_params_npz(path: str) -> Dict:
+    """Load a ``save_params_npz`` checkpoint back into a nested pytree.
+    Torch-free counterpart of load_torch_checkpoint for the serving path
+    (reference loads strictly via torch, sam2/build_sam.py:166-178)."""
+    import json
+
+    params: Dict = {}
+    with np.load(path, allow_pickle=False) as z:
+        dtypes = (
+            json.loads(str(z["__dtypes__"])) if "__dtypes__" in z.files else {}
+        )
+        for key in z.files:
+            if key == "__dtypes__":
+                continue
+            v = z[key]
+            if key in dtypes:
+                import ml_dtypes  # noqa: F401  (registers bfloat16 et al.)
+
+                v = v.astype(np.dtype(dtypes[key]))
+            node = params
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = v
+    return params
+
+
+def main(argv=None) -> None:
+    """CLI: convert a reference ``.pt`` checkpoint to the native ``.npz``
+    (the only step that needs torch; the serving image runs torch-free).
+
+        python -m det_sam2_tpu.convert sam2.1_hiera_base_plus.pt model.npz \\
+            --model base_plus
+    """
+    import argparse
+
+    from det_sam2_tpu.configs import MODEL_CONFIGS, MODEL_SIZE_ALIASES
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("src", help="reference torch .pt checkpoint")
+    ap.add_argument("dst", help="output .npz path")
+    ap.add_argument(
+        "--model", default="base_plus",
+        help=f"preset or reference size name: {sorted(MODEL_CONFIGS)} "
+        f"/ {sorted(MODEL_SIZE_ALIASES)}",
+    )
+    args = ap.parse_args(argv)
+    name = MODEL_SIZE_ALIASES.get(args.model, args.model)
+    if name not in MODEL_CONFIGS:
+        ap.error(f"unknown --model {args.model!r}")
+    params = load_torch_checkpoint(args.src, MODEL_CONFIGS[name]())
+    save_params_npz(params, args.dst)
+
+
+if __name__ == "__main__":
+    main()

@@ -127,6 +127,9 @@ INDEX_HTML = r"""<!doctype html>
 <script>
 let SID = null, NFRAMES = 0, VW = 0, VH = 0;
 let OBJECTS = [];           // [{id}]
+let NEXT_OBJ_ID = 1;        // monotonic: ids are never reused, so a failed
+                            // server-side remove can't leak stale prompts
+                            // into a later object with the same id
 let ACTIVE = null;          // active object id
 let POINTS = {};            // objId -> {frameIdx: [[x, y, label], ...]}
 let MASKS = {};             // frameIdx -> [{objectId, rleMask}]
@@ -168,7 +171,7 @@ async function startSession(){
   SID = d.startSession.sessionId;
   const info = await fetch("/session_info?session_id=" + SID).then(r=>r.json());
   NFRAMES = info.num_frames; VW = info.video_width; VH = info.video_height;
-  OBJECTS = []; POINTS = {}; MASKS = {}; ACTIVE = null;
+  OBJECTS = []; POINTS = {}; MASKS = {}; ACTIVE = null; NEXT_OBJ_ID = 1;
   addObject();
   log(`session ${SID}: ${NFRAMES} frames ${VW}x${VH}`);
   const sc = document.getElementById("scrub");
@@ -178,7 +181,7 @@ async function startSession(){
   seek(0);
 }
 function addObject(){
-  const id = OBJECTS.length ? Math.max(...OBJECTS.map(o=>o.id)) + 1 : 1;
+  const id = NEXT_OBJ_ID++;
   OBJECTS.push({id}); ACTIVE = id; POINTS[id] = {};
   renderObjects();
 }
@@ -247,7 +250,8 @@ async function clickPoint(ev, label){
   const y = (ev.clientY - rect.top) / rect.height * VH;
   const frameIndex = curFrame();
   const obj = ACTIVE;
-  (POINTS[obj][frameIndex] ||= []).push([x, y, label]);
+  const pt = [x, y, label];
+  (POINTS[obj][frameIndex] ||= []).push(pt);
   render();  // marker feedback before the round-trip
   try {
     const d = await gql(
@@ -257,9 +261,11 @@ async function clickPoint(ev, label){
            points: [[x, y]], labels: [label], clearOldPoints: false}});
     MASKS[frameIndex] = d.addPoints.rleMaskList;
   } catch (e) {
-    // the server never saw this prompt: take the optimistic marker back
+    // the server never saw this prompt: take THIS optimistic marker back
+    // (pop() could remove a newer concurrent click's marker instead)
     const pts = (POINTS[obj] || {})[frameIndex];
-    if (pts) pts.pop();
+    const i = pts ? pts.indexOf(pt) : -1;
+    if (i >= 0) pts.splice(i, 1);
     log("add point failed: " + e);
   }
   render();
@@ -366,6 +372,12 @@ async function propagate(){
   if (!SID) return log("start a session first");
   log("tracking…");
   let n = 0, last = -1, shown = -1;
+  // Drop the previous run's cached tracklets so a cancelled/failed
+  // re-track can't leave frames beyond its progress showing stale masks
+  // as if current; the stream re-delivers every frame it reaches. If it
+  // dies before delivering anything, restore the old cache.
+  const prevMasks = MASKS;
+  MASKS = {};
   try {
     const r = await fetch("/propagate_in_video", {method: "POST",
       headers: {"Content-Type": "application/json"},
@@ -391,6 +403,7 @@ async function propagate(){
     }
     log(`tracking done: ${n} frames cached — scrub or play to review`);
   } catch (e) {
+    if (n === 0) MASKS = prevMasks;
     log(`tracking failed after ${n} frames: ` + e);
   } finally {
     // show the last tracked frame even when the window ends off-stride

@@ -255,10 +255,7 @@ def serve(api: InferenceAPI, host: str = "0.0.0.0", port: int = 7263,
 # The reference container configures the backend entirely through env vars
 # (docker-compose.yaml: MODEL_SIZE, GUNICORN_PORT, DATA_PATH,
 # DEFAULT_VIDEO_PATH). Accept both its MODEL_SIZE vocabulary and ours.
-_MODEL_SIZE_ALIASES = {
-    "tiny": "hiera_t", "small": "hiera_s",
-    "base_plus": "hiera_b+", "large": "hiera_l",
-}
+from det_sam2_tpu.configs import MODEL_SIZE_ALIASES as _MODEL_SIZE_ALIASES
 
 
 def env_config(environ=None) -> dict:
@@ -271,6 +268,17 @@ def env_config(environ=None) -> dict:
     env = os.environ if environ is None else environ
     model = env.get("MODEL_SIZE", "hiera_s")
     model = _MODEL_SIZE_ALIASES.get(model, model)
+    # argparse does not validate DEFAULTS against choices — a typo'd env
+    # var would otherwise surface much later as a raw KeyError in the
+    # engine builder. Fail at config time with the valid vocabulary.
+    from det_sam2_tpu.configs import MODEL_CONFIGS
+
+    if model not in MODEL_CONFIGS:
+        raise ValueError(
+            f"MODEL_SIZE={env.get('MODEL_SIZE')!r} is not a known model: "
+            f"use one of {sorted(_MODEL_SIZE_ALIASES)} or "
+            f"{sorted(MODEL_CONFIGS)}"
+        )
     data = env.get("DATA_PATH")
     gallery = env.get("GALLERY_PATH") or (
         os.path.join(data, "gallery") if data else None)

@@ -42,12 +42,36 @@ def supervise(
     checkpoints and exits REQUEUE_EXIT_CODE (trainer.py checkpoint_on_
     sigterm), and this loop relaunches the command — auto_resume picks up
     the checkpoint. Any other exit code (success or real failure) is
-    final. Returns the final exit code."""
+    final. Returns the final exit code.
+
+    Signal handling: the preemption SIGTERM is usually delivered to THIS
+    process (container PID 1 / systemd main pid), not the trainer child —
+    and under process-group delivery it hits both, killing a naive
+    supervisor before it can requeue. So the supervisor traps SIGTERM/
+    SIGINT, forwards them to the child (whose checkpoint_on_sigterm
+    handler then checkpoints and exits 143), and survives to relaunch."""
+    import signal
     import subprocess
 
     requeues = 0
     while True:
-        rc = subprocess.call(list(cmd), env=env)
+        proc = subprocess.Popen(list(cmd), env=env)
+
+        def _forward(signum, frame):
+            try:
+                proc.send_signal(signum)
+            except (ProcessLookupError, OSError):
+                pass
+
+        prev = {
+            s: signal.signal(s, _forward)
+            for s in (signal.SIGTERM, signal.SIGINT)
+        }
+        try:
+            rc = proc.wait()
+        finally:
+            for s, h in prev.items():
+                signal.signal(s, h)
         if rc != REQUEUE_EXIT_CODE:
             return rc
         requeues += 1

@@ -69,15 +69,19 @@ def test_compose_file_consistent():
     }
     for item in svc["environment"]:
         assert item.split("=", 1)[0] in known, item
-    # port mapping agrees with the env config the container will resolve
+    # host networking: Docker IGNORES port mappings under
+    # network_mode: host, so a ports block would be dead/misleading
+    # config — SERVER_PORT is the only effective knob
+    assert svc.get("network_mode") == "host"
+    assert "ports" not in svc
     env = dict(kv.split("=", 1) for kv in svc["environment"])
-    port = env_config(env)["port"]
-    assert f"{port}:{port}" in [str(p) for p in svc["ports"]]
+    assert env_config(env)["port"] == int(env["SERVER_PORT"])
 
 
 def test_dockerfile_paths_exist():
     with open(os.path.join(DEPLOY, "backend.Dockerfile")) as f:
-        lines = f.read().splitlines()
+        text = f.read()
+    lines = text.splitlines()
     copied = [ln.split()[1] for ln in lines if ln.startswith("COPY ")]
     assert copied, "Dockerfile copies nothing"
     for src in copied:
@@ -87,6 +91,79 @@ def test_dockerfile_paths_exist():
     assert any("det_sam2_tpu.serving.server" in c for c in cmds)
     from det_sam2_tpu.serving import server
     assert callable(server.main)
+
+
+def test_dockerfile_runtime_is_torch_free():
+    """The runtime image must boot without torch: the checkpoint is
+    converted to the native .npz at build time (torch installed and
+    uninstalled inside the SAME layer), and CHECKPOINT_PATH points at the
+    .npz, which build._load_params reads torch-free."""
+    with open(os.path.join(DEPLOY, "backend.Dockerfile")) as f:
+        # comments mention torch legitimately; check instructions only
+        text = "\n".join(
+            ln for ln in f.read().splitlines()
+            if not ln.lstrip().startswith("#")
+        )
+    # the conversion layer: install torch -> convert -> uninstall, one RUN
+    convert_runs = [
+        chunk for chunk in text.split("RUN ")
+        if "det_sam2_tpu.convert" in chunk
+    ]
+    assert len(convert_runs) == 1
+    run = convert_runs[0]
+    assert "pip install" in run and "torch" in run
+    assert "pip uninstall -y torch" in run
+    # no TPU at build time: the conversion must pin the CPU backend
+    assert "JAX_PLATFORMS=cpu" in run
+    # the served checkpoint is the torch-free artifact
+    assert "ENV CHECKPOINT_PATH=" in text
+    ckpt = [ln for ln in text.splitlines()
+            if ln.startswith("ENV CHECKPOINT_PATH=")][-1]
+    assert ckpt.endswith(".npz")
+    # and the runtime pip layer itself never installs torch
+    runtime_runs = [c for c in text.split("RUN ")
+                    if "pip install" in c
+                    and "det_sam2_tpu.convert" not in c]
+    assert all("torch" not in c for c in runtime_runs)
+
+
+def test_env_config_rejects_unknown_model_size():
+    with pytest.raises(ValueError, match="MODEL_SIZE"):
+        env_config({"MODEL_SIZE": "Large"})  # case typo
+    with pytest.raises(ValueError, match="base_plus"):
+        env_config({"MODEL_SIZE": "base-plus"})
+
+
+def test_npz_checkpoint_roundtrip(tmp_path):
+    """save_params_npz/load_params_npz: nested tree, bf16 widening with
+    dtype restore, and build._load_params dispatching on the suffix."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from det_sam2_tpu.build import _load_params
+    from det_sam2_tpu.convert import load_params_npz, save_params_npz
+
+    params = {
+        "trunk": {
+            "blocks_0": {"kernel": jnp.ones((4, 8), jnp.bfloat16),
+                         "bias": np.arange(8, dtype=np.float32)},
+        },
+        "scale": np.float32(2.5) * np.ones((3,), np.float32),
+    }
+    path = str(tmp_path / "model.npz")
+    save_params_npz(params, path)
+    for loader in (load_params_npz,
+                   lambda p: _load_params(p, cfg=None)):
+        restored = loader(path)
+        assert restored["trunk"]["blocks_0"]["kernel"].dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(restored["trunk"]["blocks_0"]["kernel"],
+                       dtype=np.float32),
+            np.ones((4, 8), np.float32))
+        np.testing.assert_array_equal(
+            restored["trunk"]["blocks_0"]["bias"],
+            np.arange(8, dtype=np.float32))
+        assert restored["scale"].dtype == np.float32
 
 
 def test_systemd_unit_consistent():

@@ -222,3 +222,53 @@ def test_supervise_requeues_until_clean_exit(tmp_path):
     )
     rc = supervise([sys.executable, str(always)], max_requeues=2)
     assert rc == REQUEUE_EXIT_CODE
+
+
+def test_supervise_forwards_sigterm_and_survives_to_requeue(tmp_path):
+    """Preemption delivers SIGTERM to the SUPERVISOR (container PID 1 /
+    systemd main pid): it must forward the signal to the trainer child —
+    whose handler checkpoints and exits 143 — and survive to relaunch it.
+    A naive subprocess.call supervisor dies from the same signal before
+    the requeue."""
+    import signal
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    from det_sam2_tpu.training.launch import REQUEUE_EXIT_CODE
+
+    running = tmp_path / "running"
+    preempted = tmp_path / "preempted"
+    child = tmp_path / "child.py"
+    child.write_text(textwrap.dedent(f"""
+        import pathlib, signal, sys, time
+        preempted = pathlib.Path({str(preempted)!r})
+        if preempted.exists():
+            sys.exit(0)  # the relaunch after the preemption: clean run
+        def on_term(signum, frame):
+            preempted.write_text("checkpointed")
+            sys.exit({REQUEUE_EXIT_CODE})
+        signal.signal(signal.SIGTERM, on_term)
+        pathlib.Path({str(running)!r}).write_text("up")
+        time.sleep(60)  # preemption interrupts this
+        sys.exit(1)     # never reached
+    """))
+    sup = subprocess.Popen([
+        sys.executable, "-c", textwrap.dedent(f"""
+            import sys
+            from det_sam2_tpu.training.launch import supervise
+            sys.exit(supervise([sys.executable, {str(child)!r}],
+                               max_requeues=3))
+        """)
+    ])
+    deadline = time.time() + 30
+    while not running.exists():
+        assert time.time() < deadline, "child never started"
+        assert sup.poll() is None, "supervisor died early"
+        time.sleep(0.05)
+    # the preemption signal lands on the supervisor, NOT the child
+    sup.send_signal(signal.SIGTERM)
+    rc = sup.wait(timeout=30)
+    assert rc == 0, "supervisor must survive the SIGTERM and requeue"
+    assert preempted.read_text() == "checkpointed"
